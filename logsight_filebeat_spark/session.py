@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the log-pipeline workload.
+
+Scale stance: these configs are chosen for a multi-executor cluster reading
+~100 TB; the sandbox runs them on local[N]. Everything here is stock Spark —
+AQE (runtime re-planning, skew-join splitting, partition coalescing), Arrow
+batching for the single vectorized parse stage, and a shuffle-partition count
+sized to the local core count (on a real cluster this is set per-job from
+input size / target partition bytes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size for the vectorized parse stage (SURVEY §4.2): big enough to
+# amortize the JVM->Python hop, small enough that a batch of pages with large
+# `html`/`text` payloads stays comfortably in worker memory.
+ARROW_MAX_RECORDS_PER_BATCH = 4096
+
+
+def get_spark(
+    app_name: str = "logsight-filebeat-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the pipeline's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) in
+    the sandbox; on a real cluster the caller passes none and spark-submit
+    supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism on local[N]; a real deployment sizes this from
+        # input bytes / spark.sql.files.maxPartitionBytes.
+        n = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = 32 if n in ("*", "") else max(int(n), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # files.maxPartitionBytes default 128m is right for the parquet scans;
+        # keep autoBroadcastJoinThreshold default (10m) — dims are tiny and we
+        # additionally hint F.broadcast explicitly at every dim join.
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
