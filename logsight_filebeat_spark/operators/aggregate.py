@@ -1,0 +1,81 @@
+"""Delivery accounting & per-sink aggregates (O15/O17/O21 + north rule).
+
+Reference: the only aggregate is the per-batch LogReceipt
+(/root/reference/plugin/api/log.go:57-62 — {receiptId, logsCount, batchId,
+status}) plus the StatsDialer byte/event counters (plugin/client.go:38-41).
+The north rule widens this to per-sink groupBy aggregates: event counts, byte
+totals, and parse-failure rates per warc_ts hour bucket.
+
+Scale: one hash aggregate shuffling on (sink, hour) — low cardinality, so the
+shuffle is trivial; partial (map-side) aggregation does almost all the work.
+Failure rate comes from the SAME single aggregation (conditional counts), not
+a second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators.log_mapper import ERROR_COL
+from logsight_filebeat_spark.operators.router import SINK_COL
+
+
+def hour_bucket(ts: Column | str = "warc_ts") -> Column:
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_trunc("hour", c)
+
+
+def sink_hour_aggregates(
+    routed: DataFrame,
+    ts_col: str = "warc_ts",
+    bytes_cols: tuple[str, ...] = ("message",),
+) -> DataFrame:
+    """(sink, hour) → event_count, byte_total, failed_count,
+    parse_failure_rate. Quarantined/failed rows count into the same buckets
+    (failure rate per hour is the point), byte totals count delivered payload
+    bytes only — the receipt measures what was shipped."""
+    byte_expr = sum(
+        (F.coalesce(F.octet_length(F.col(c)), F.lit(0)) for c in bytes_cols),
+        F.lit(0),
+    )
+    is_failed = F.col(ERROR_COL).isNotNull() if ERROR_COL in routed.columns else F.lit(False)
+    return (
+        routed.groupBy(
+            F.col(SINK_COL), hour_bucket(ts_col).alias("hour_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.when(~is_failed, byte_expr).otherwise(F.lit(0))).alias("byte_total"),
+            F.sum(F.when(is_failed, 1).otherwise(0)).alias("failed_count"),
+        )
+        .withColumn(
+            "parse_failure_rate",
+            F.round(F.col("failed_count") / F.col("event_count"), 6),
+        )
+    )
+
+
+def receipts(routed: DataFrame, batch_id: str) -> DataFrame:
+    """LogReceipt analogue (api/log.go:57-62): one row per sink per batch —
+    logsCount of successfully mapped rows, status 200/207 (all-ok /
+    partial-failure, mirroring client.go:134-141 diagnostics)."""
+    is_failed = F.col(ERROR_COL).isNotNull() if ERROR_COL in routed.columns else F.lit(False)
+    return (
+        routed.groupBy(SINK_COL)
+        .agg(
+            F.sum(F.when(~is_failed, 1).otherwise(0)).alias("logs_count"),
+            F.sum(F.when(is_failed, 1).otherwise(0)).alias("failed_count"),
+        )
+        .select(
+            F.sha2(F.concat_ws("|", F.lit(batch_id), F.col(SINK_COL)), 256).alias(
+                "receipt_id"
+            ),
+            F.col(SINK_COL),
+            F.col("logs_count"),
+            F.lit(batch_id).alias("batch_id"),
+            F.when(F.col("failed_count") == 0, F.lit(200))
+            .otherwise(F.lit(207))
+            .alias("status"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Enrichment — add_fields / add_tags / add_host_metadata analogues (O22).
+
+Reference: the plugin's tags_mapping config renames/projects event fields into
+the tags map (/root/reference/plugin/config.go:21, wired plugin/client.go:77-79,
+executed by MultipleKeyValueMapper, mapper.go:96-108). The Beats framework
+processors (add_fields/add_host_metadata) are config-only there; here they are
+first-class: static literal merges, and BROADCAST left joins against small
+lookup tables keyed on url-host and lang (north rule).
+
+Scale: the lookup tables are dimension-sized (10^2–10^6 rows) against a
+10^12-row fact — broadcast-hash-join is the only sane plan; we hint it
+explicitly (F.broadcast) so plan choice never depends on stats. Left join +
+map_concat of non-null fields reproduces skip-on-missing (mapper.go:103-106):
+an unmatched host contributes NO tags, never a NULL tag value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(col: Column | str = "url") -> Column:
+    """url → host. try_parse_url is codegen'd JVM-side; NULL on malformed
+    input (no UDF, no task failure under ANSI mode)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_parse_url(c, F.lit("HOST"))
+
+
+def add_fields(df: DataFrame, fields: dict[str, str], tags_col: str = "tags") -> DataFrame:
+    """add_fields/add_tags processor: merge constant key→values into the tags
+    map. Literal-only; never fails a row."""
+    if not fields:
+        return df
+    lit_map = F.create_map(
+        *[x for k, v in sorted(fields.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    return df.withColumn(tags_col, F.map_concat(F.col(tags_col), lit_map))
+
+
+def enrich_with_lookup(
+    df: DataFrame,
+    lookup: DataFrame,
+    on: str | Column,
+    tag_cols: dict[str, str],
+    tags_col: str = "tags",
+    lookup_key: str | None = None,
+) -> DataFrame:
+    """Broadcast-left-join ``lookup`` and fold selected lookup columns into
+    the tags map as {tag_key: value}; rows with no match (or NULL values)
+    get no entry — skip-on-missing, mapper.go:103-106.
+
+    ``on``: fact-side join column (name or expression, e.g. url_host()).
+    ``tag_cols``: {tag_key_out: lookup_column_in}.
+    ``lookup_key``: lookup-side key column (default: same name as ``on``).
+    """
+    join_col = df[on] if isinstance(on, str) else on
+    key = lookup_key or (on if isinstance(on, str) else None)
+    if key is None:
+        raise ValueError("lookup_key required when `on` is an expression")
+    needed = [key] + sorted(set(tag_cols.values()))
+    small = lookup.select(*needed)
+
+    joined = df.join(
+        F.broadcast(small), join_col == small[key], "left"
+    ).drop(small[key])
+
+    entries = [
+        F.struct(F.lit(tag_key).alias("key"), F.col(src).alias("value"))
+        for tag_key, src in sorted(tag_cols.items())
+    ]
+    arr = F.filter(F.array(*entries), lambda e: e.getField("value").isNotNull())
+    new_tags = F.map_concat(F.col(tags_col), F.map_from_entries(arr))
+    return joined.withColumn(tags_col, new_tags).drop(
+        *[c for c in set(tag_cols.values()) if c in joined.columns and c not in df.columns]
+    )

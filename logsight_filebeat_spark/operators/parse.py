@@ -1,0 +1,222 @@
+"""Vectorized parse stage: multiline join + grok/dissect pattern extraction.
+
+The reference delegates these to the Beats framework (multiline joining and
+dissect processors are framework capabilities configured by the plugin — dep
+at /root/reference/go.mod:139, embedded at /root/reference/filebeat/main.go:35-39).
+Per SURVEY §2 ("Capabilities inherited from the Beats framework") our engine
+owns them natively:
+
+* ``multiline_join`` — continuation lines (default: leading whitespace, the
+  stack-trace shape) merge into the preceding event. Implemented with Spark
+  higher-order functions (split + aggregate fold) — fully JVM-side, per-page,
+  no cross-row state, no Python. At 100 TB this is a narrow map over the scan.
+
+* Grok — a pattern like ``%{NOTSPACE:timestamp} %{WORD:level}
+  %{GREEDYDATA:message}`` compiles ONCE on the driver into (a) a Java regex
+  for the native Column path (regexp_extract per field, whole-stage codegen)
+  and (b) a Python regex for the Arrow-vectorized ``mapInPandas`` path (one
+  precompiled match per row over Arrow batches — the north rule's vectorized
+  grok stage for patterns too heavy for codegen or needing byte-exact Python
+  `re` semantics). Both paths are tested byte-identical against a
+  single-threaded Python oracle (input_hint invariant).
+
+Grok base patterns are the public grok vocabulary (non-capturing internals so
+field ⇒ capture-group index is positional).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# public grok base vocabulary (subset); internals non-capturing
+BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "YEAR": r"\d{4}",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?"
+        r"(?:Z|[+-]\d{2}:?\d{2})?"
+    ),
+    "LOGLEVEL": (
+        r"(?:INFO|WARNING|WARN|FINER|FINE|DEBUG|ERROR|ERR|EXCEPTION|SEVERE"
+        r"|TRACE|FATAL|CRITICAL)"
+    ),
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "URIPATH": r"(?:/[A-Za-z0-9_.%$+!*'(),~:;=@#-]*)+",
+    "QS": r"\"[^\"]*\"",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+@dataclass(frozen=True)
+class CompiledGrok:
+    """Driver-side compiled grok pattern (compile once, run everywhere —
+    the analogue of the reference hoisting regexp.Compile to config time,
+    plugin/config.go:42)."""
+
+    source: str
+    regex: str  # RE2∩Java∩Python-safe
+    fields: tuple[str, ...]  # capture-group order, group i+1 = fields[i]
+
+    @property
+    def python(self) -> re.Pattern:
+        return re.compile(self.regex)
+
+
+def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
+    """Expand %{BASE:field} refs into one regex with positional groups.
+    Unnamed refs (%{BASE}) expand non-capturing. Unknown base ⇒ ValueError
+    at compile time (driver), mirroring config.go:42-45."""
+    vocab = {**BASE_PATTERNS, **(extra_patterns or {})}
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        base, field = m.group(1), m.group(2)
+        if base not in vocab:
+            raise ValueError(f"unknown grok pattern %{{{base}}}")
+        if field:
+            fields.append(field)
+            return f"({vocab[base]})"
+        return f"(?:{vocab[base]})"
+
+    regex = _GROK_REF.sub(sub, pattern)
+    if not fields:
+        raise ValueError(f"grok pattern {pattern!r} captures no fields")
+    re.compile(regex)  # validate now, on the driver
+    return CompiledGrok(source=pattern, regex=regex, fields=tuple(fields))
+
+
+# ---------------------------------------------------------------------------
+# multiline join
+# ---------------------------------------------------------------------------
+
+DEFAULT_CONTINUATION = r"^\s"
+
+
+def multiline_join(
+    text: Column | str, continuation: str = DEFAULT_CONTINUATION
+) -> Column:
+    """Fold a page's lines into logical events: a line matching
+    ``continuation`` appends (with \\n) to the previous event. Returns
+    array<string>. Pure higher-order-function fold — no shuffle, no UDF."""
+    col = F.col(text) if isinstance(text, str) else text
+    lines = F.split(col, "\n")
+    acc_type = "struct<events:array<string>,cur:string>"
+    folded = F.aggregate(
+        lines,
+        F.struct(
+            F.array().cast("array<string>").alias("events"),
+            F.lit(None).cast("string").alias("cur"),
+        ),
+        lambda acc, x: F.when(
+            x.rlike(continuation) & acc.getField("cur").isNotNull(),
+            F.struct(
+                acc.getField("events").alias("events"),
+                F.concat(acc.getField("cur"), F.lit("\n"), x).alias("cur"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc.getField("cur").isNull(), acc.getField("events")
+                )
+                .otherwise(F.array_append(acc.getField("events"), acc.getField("cur")))
+                .alias("events"),
+                x.alias("cur"),
+            )
+        ),
+        lambda acc: F.when(
+            acc.getField("cur").isNull(), acc.getField("events")
+        ).otherwise(F.array_append(acc.getField("events"), acc.getField("cur"))),
+    )
+    return folded.cast("array<string>")
+
+
+def explode_multiline(
+    df: DataFrame, text_col: str = "text", out_col: str = "event_text",
+    continuation: str = DEFAULT_CONTINUATION,
+) -> DataFrame:
+    """pages → one row per logical event, event index preserved (the
+    harvester emitting events per file, filebeat/main.go:27-30)."""
+    events = multiline_join(text_col, continuation)
+    return df.select(
+        "*", F.posexplode(events).alias("event_idx", out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# grok execution — native Column path
+# ---------------------------------------------------------------------------
+
+def grok_native(col: Column | str, grok: CompiledGrok) -> Column:
+    """One struct column of captures; NULL struct when no match (the row
+    failure of mapper.go:145-150 — NOT an empty string). Each field is one
+    regexp_extract; Catalyst codegens these with a cached compiled pattern,
+    and common-subexpression elimination shares the match work."""
+    c = F.col(col) if isinstance(col, str) else col
+    matched = c.rlike(grok.regex)
+    fields = [
+        F.regexp_extract(c, grok.regex, i + 1).alias(name)
+        for i, name in enumerate(grok.fields)
+    ]
+    return F.when(matched, F.struct(*fields))
+
+
+def with_grok_native(
+    df: DataFrame, col: str, grok: CompiledGrok, out: str = "parsed"
+) -> DataFrame:
+    return df.withColumn(out, grok_native(col, grok))
+
+
+# ---------------------------------------------------------------------------
+# grok execution — Arrow-vectorized path (mapInPandas)
+# ---------------------------------------------------------------------------
+
+def with_grok_vectorized(
+    df: DataFrame, col: str, grok: CompiledGrok, out: str = "parsed"
+) -> DataFrame:
+    """Single mapInPandas stage applying the precompiled pattern once per row
+    over Arrow batches (north rule: batched re2-style matchers; no per-row
+    Python *interpretation* — the regex engine is C). All pre/post logic
+    stays in Columns; this is the only JVM→Python hop in the pipeline
+    (SURVEY §4.2). Fields come back as a struct column, NULL on no-match —
+    byte-identical to grok_native and to the single-threaded oracle."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(
+                out,
+                T.StructType([T.StructField(f, T.StringType()) for f in grok.fields]),
+            )
+        ]
+    )
+    regex = grok.regex
+    fields = grok.fields
+
+    def run(batches: Iterator) -> Iterator:
+        pat = re.compile(regex)  # compile once per worker task
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            s = pdf[col]
+            # both calls are C-vectorized over the whole Arrow batch
+            matched = s.str.contains(pat, na=False)
+            ext = s.str.extract(pat)
+            ext.columns = list(fields)
+            ext = ext.where(ext.notna(), "")  # unmatched optional group ⇒ ""
+            vals = ext.to_dict("records")
+            pdf[out] = [v if ok else None for ok, v in zip(matched, vals)]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,84 @@
+"""Enrichment broadcast joins (O22) + delivery accounting aggregates (O17/O21)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators.aggregate import receipts, sink_hour_aggregates
+from logsight_filebeat_spark.operators.enrich import (
+    add_fields,
+    enrich_with_lookup,
+    url_host,
+)
+from logsight_filebeat_spark.sources.pages import host_meta, lang_meta, pages
+
+
+def test_url_host_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://hot.example.com/path/a/here?id=1",), ("not a url",)], ["url"]
+    )
+    got = [r.h for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["hot.example.com", None]
+
+
+def test_add_fields_merges_literals(spark):
+    df = spark.createDataFrame([({"a": "1"},)], "tags: map<string,string>")
+    r = add_fields(df, {"env": "prod"}).first()
+    assert dict(r.tags) == {"a": "1", "env": "prod"}
+
+
+def test_enrich_skip_on_missing(spark):
+    """Unmatched lookup key or NULL lookup value ⇒ tag absent, never NULL
+    (mapper.go:103-106 skip-on-missing)."""
+    df = spark.createDataFrame(
+        [("en", {"x": "1"}), ("zz", {"x": "2"})], "lang: string, tags: map<string,string>"
+    )
+    out = enrich_with_lookup(df, lang_meta(spark), "lang", {"lang_name": "lang_name"})
+    got = {r.lang: dict(r.tags) for r in out.collect()}
+    assert got["en"] == {"x": "1", "lang_name": "English"}
+    assert got["zz"] == {"x": "2"}  # no lang_name key at all
+
+
+def test_enrich_by_expression_key_is_broadcast(spark):
+    df = pages(spark, 200).withColumn("tags", F.create_map().cast("map<string,string>"))
+    out = enrich_with_lookup(
+        df, host_meta(spark), url_host("url"), {"site_category": "site_category"},
+        lookup_key="host",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    cats = {r[0] for r in out.select(F.element_at("tags", "site_category")).distinct().collect()}
+    assert "hot" in cats
+
+
+def test_sink_hour_aggregates_and_failure_rate(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", "2024-03-01 10:05:00", "hello", None),
+            ("s1", "2024-03-01 10:55:00", "world!", None),
+            ("s1", "2024-03-01 10:30:00", None, "boom"),
+            ("s2", "2024-03-01 11:00:00", "abc", None),
+        ],
+        "sink: string, warc_ts: string, message: string, _error: string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    agg = sink_hour_aggregates(df).orderBy("sink", "hour_bucket").collect()
+    assert len(agg) == 2
+    s1 = agg[0]
+    assert s1.event_count == 2 + 1
+    assert s1.byte_total == 5 + 6  # failed row's bytes not counted
+    assert s1.failed_count == 1
+    assert abs(s1.parse_failure_rate - 1 / 3) < 1e-6
+    assert agg[1].parse_failure_rate == 0.0
+
+
+def test_receipts_status_codes(spark):
+    df = spark.createDataFrame(
+        [("s1", None), ("s1", "err"), ("s2", None)],
+        "sink: string, _error: string",
+    )
+    rec = {r.sink: r for r in receipts(df, "b1").collect()}
+    assert rec["s1"].logs_count == 1 and rec["s1"].status == 207
+    assert rec["s2"].logs_count == 1 and rec["s2"].status == 200
+    assert rec["s1"].batch_id == "b1"
+    assert len(rec["s1"].receipt_id) == 64

@@ -1,0 +1,123 @@
+"""Multiline join + grok: native vs vectorized vs single-threaded oracle.
+
+The byte-identity invariant (BASELINE.json input_hint): extracted text per
+row from the vectorized UDF must equal the plain Python `re` oracle
+byte-for-byte, and the native Column path must agree too.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators.parse import (
+    compile_grok,
+    explode_multiline,
+    multiline_join,
+    with_grok_native,
+    with_grok_vectorized,
+)
+from logsight_filebeat_spark.sources.pages import pages
+
+PAT = "%{NOTSPACE:timestamp} %{WORD:level} %{GREEDYDATA:message}"
+
+
+def test_compile_grok_fields_and_regex():
+    g = compile_grok(PAT)
+    assert g.fields == ("timestamp", "level", "message")
+    m = g.python.search("2024-03-01T10:00:00Z INFO hello world")
+    assert m.group(1) == "2024-03-01T10:00:00Z"
+    assert m.group(2) == "INFO"
+    assert m.group(3) == "hello world"
+
+
+def test_compile_grok_unknown_base_errors():
+    with pytest.raises(ValueError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_compile_grok_no_fields_errors():
+    with pytest.raises(ValueError):
+        compile_grok("%{WORD} plain")
+
+
+def test_multiline_join_merges_continuations(spark):
+    text = "line one\n    at Stack.frame(x:1)\nline two\n\tindented follow"
+    df = spark.createDataFrame([(text,)], ["text"])
+    events = df.select(multiline_join("text").alias("e")).first().e
+    assert events == [
+        "line one\n    at Stack.frame(x:1)",
+        "line two\n\tindented follow",
+    ]
+
+
+def test_multiline_leading_continuation_is_own_event(spark):
+    # a continuation with no preceding event starts its own event
+    df = spark.createDataFrame([("  orphan\nreal line",)], ["text"])
+    events = df.select(multiline_join("text").alias("e")).first().e
+    assert events == ["  orphan", "real line"]
+
+
+def test_explode_multiline_indexes(spark):
+    df = spark.createDataFrame([("a\nb\n  cont",)], ["text"])
+    rows = explode_multiline(df).select("event_idx", "event_text").collect()
+    assert [(r.event_idx, r.event_text) for r in rows] == [(0, "a"), (1, "b\n  cont")]
+
+
+def test_grok_native_no_match_is_null_struct(spark):
+    g = compile_grok(PAT)
+    df = spark.createDataFrame([("",), ("oneword",)], ["t"])
+    rows = with_grok_native(df, "t", g).select("parsed").collect()
+    assert rows[0].parsed is None and rows[1].parsed is None
+
+
+def test_byte_identity_native_vs_vectorized_vs_oracle(spark):
+    """The input_hint invariant on real generated pages."""
+    g = compile_grok(PAT)
+    df = explode_multiline(pages(spark, 400, seed=7), "text", "event_text")
+    native = (
+        with_grok_native(df, "event_text", g)
+        .select("url", "event_idx", "event_text", "parsed")
+        .collect()
+    )
+    vect = (
+        with_grok_vectorized(df, "event_text", g)
+        .select("url", "event_idx", "event_text", "parsed")
+        .collect()
+    )
+    key = lambda r: (r.url, r.event_idx)
+    native.sort(key=key)
+    vect.sort(key=key)
+    assert len(native) == len(vect) > 400
+
+    oracle_pat = re.compile(g.regex)
+    for n, v in zip(native, vect):
+        assert key(n) == key(v)
+        m = oracle_pat.search(n.event_text)
+        expected = None if m is None else tuple((m.group(i) or "") for i in (1, 2, 3))
+        got_n = None if n.parsed is None else tuple(n.parsed)
+        got_v = None if v.parsed is None else tuple(v.parsed)
+        assert got_n == expected, f"native mismatch on {n.event_text!r}"
+        assert got_v == expected, f"vectorized mismatch on {v.event_text!r}"
+
+
+def test_pages_deterministic_across_partitioning(spark):
+    a = pages(spark, 300, seed=42, partitions=1).orderBy("url").collect()
+    b = pages(spark, 300, seed=42, partitions=7).orderBy("url").collect()
+    assert a == b
+
+
+def test_pages_schema_and_failure_shapes(spark):
+    df = pages(spark, 2000, seed=42)
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert dict(df.dtypes)["html"] == "binary"
+    # fixture path shapes exist: no-inner-segment and empty-capture urls
+    assert df.filter(F.col("url").rlike("https://[^/]+/path\\?id=")).count() > 0
+    assert df.filter(F.col("url").contains("/path//here")).count() > 0
+    # failure rows exist: bogus level and date-only timestamps
+    assert df.filter(F.col("text").contains(" bogus ")).count() > 0
+    # html wraps text
+    r = df.select(F.decode("html", "UTF-8").alias("h"), "text").first()
+    assert r.text in r.h
