@@ -1,0 +1,125 @@
+"""Text-analysis functions for large-scale corpus pipelines.
+
+All pure Column expressions (whole-stage codegen, no Python): tokenization,
+quality scoring, language-ID by marker-word scoring, and document
+fingerprinting. These are the per-document maps that precede dedup/routing in
+a training-data pipeline; at 100 TB they run inside the scan stage with zero
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.functions.hashing import md5_hex
+
+# small demo stopword list; production passes its own
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it")
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped (split on \\s+)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and single
+    punctuation each count as one token (a cheap BPE proxy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+
+
+def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.round(n_sw / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(col: Column | str, stopwords=STOPWORDS) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane word length,
+    some-but-not-all stopwords, low punctuation noise. Same closed formula
+    is reproduced in the DuckDB oracle."""
+    ntok = token_count(col)
+    len_ok = F.when(ntok >= 10, F.lit(0.4)).otherwise(ntok.cast("double") * 0.04)
+    awl = avg_token_length(col)
+    awl_ok = F.when((awl >= 3) & (awl <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col, stopwords)
+    sw_ok = F.when((sw > 0) & (sw < 0.5), F.lit(0.2)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+    return F.round(len_ok + awl_ok + sw_ok + punct_ok, 6)
+
+
+def lang_scores(col: Column | str, markers=LANG_MARKERS) -> dict[str, Column]:
+    toks = F.transform(tokens(col), F.lower)
+    out = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column | str, markers=LANG_MARKERS, min_hits: int = 1) -> Column:
+    """argmax marker-hit language; ties broken by language-code order;
+    'und' when no marker reaches min_hits."""
+    scores = lang_scores(col, markers)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(markers)
+        ]
+    )
+    sorted_pairs = F.array_sort(
+        pairs,
+        lambda a, b: F.when(
+            a.getField("hits") > b.getField("hits"), F.lit(-1)
+        )
+        .when(a.getField("hits") < b.getField("hits"), F.lit(1))
+        .when(a.getField("lang") < b.getField("lang"), F.lit(-1))
+        .when(a.getField("lang") > b.getField("lang"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    top = F.element_at(sorted_pairs, 1)
+    return F.when(top.getField("hits") >= min_hits, top.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    lowercase token set — the classic near-canonical-form fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.transform(tokens(c), F.lower))), " "
+    )
+    return md5_hex(canon)

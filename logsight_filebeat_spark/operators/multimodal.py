@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads travel as ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schema, Arrow batch shape, partitioning,
+UDF signatures — is real and tested; the actual codec step is STUBBED
+(`decode_image` raises NotImplementedError; `fake_decode` is the
+deterministic stand-in) because no image/audio libraries exist in this
+container. Swapping the stub for PIL/torchaudio changes one function body,
+not the pipeline.
+
+Scale notes: payload bytes dominate — keep them OUT of shuffles (extract
+metadata early, drop/offload payloads before any groupBy/join), size Arrow
+batches down for fat rows (spark.sql.execution.arrow.maxRecordsPerBatch),
+and never collect payload columns to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("magic_hex", T.StringType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def media_meta(col: Column | str) -> Column:
+    """Cheap typed metadata from the raw bytes — pure Columns, no Python:
+    size, magic-number hex, content hash. This is the 'extract metadata
+    before shuffling payloads' step."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.octet_length(c).cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.substring(c, 1, 4))).alias("magic_hex"),
+        F.sha2(c, 256).alias("sha"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Real codec hook — intentionally unimplemented in this container."""
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. PIL) not present in "
+        "this environment; use fake_decode for the deterministic test path"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in: 'dimensions' derived from the payload bytes.
+    Keeps the full Spark plumbing testable without a codec."""
+    if payload is None or len(payload) == 0:
+        return (0, 0, 0)
+    w = 1 + (payload[0] % 64)
+    h = 1 + (payload[-1] % 64)
+    return (w, h, 3)
+
+
+def with_decoded(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out: str = "decoded",
+    decoder=fake_decode,
+) -> DataFrame:
+    """mapInPandas decode stage: Arrow-batched, one Python hop, payload
+    column dropped on output (decoded features only cross the shuffle)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [T.StructField(out, DECODED_SCHEMA)]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            decoded = [
+                None
+                if p is None
+                else dict(zip(("width", "height", "channels"), decoder(bytes(p))))
+                for p in pdf[payload_col]
+            ]
+            pdf = pdf.drop(columns=[payload_col])
+            pdf[out] = decoded
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_indices(n_frames: Column | str, every: int = 10) -> Column:
+    """Video frame-sampling plan: indices 0, every, 2·every … < n_frames —
+    a Column expression the decode UDF consumes per row."""
+    c = F.col(n_frames) if isinstance(n_frames, str) else n_frames
+    return F.sequence(
+        F.lit(0), F.greatest(c - 1, F.lit(0)), F.lit(every)
+    )
