@@ -17,11 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the full log pipeline
-    (map → validate → route → per-sink-hour aggregates) over `events`."""
+    """Flagship query at sf0.001: the full north-rule pages pipeline
+    (multiline join → grok parse → map+validate → broadcast enrich → route →
+    per-(sink, warc_ts-hour) aggregates) over the input_hint pages table."""
     from logsight_filebeat_spark.entry_queries import QUERIES
 
-    return QUERIES["pl_flagship"](spark, "/root/testdata/sf0.001")
+    return QUERIES["pg_flagship"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -407,3 +407,8 @@ def en_lookup_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(F.element_at("tags", "org").alias("org")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# pages-pipeline + dedup/similarity/text/multimodal suites register themselves
+# into QUERIES/ORACLES on import (must stay the last statement in this module)
+from logsight_filebeat_spark import entry_queries_corpus  # noqa: E402,F401

@@ -69,14 +69,18 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined, lowercased)."""
+    """Distinct word n-gram shingles (space-joined, lowercased). Texts with
+    fewer than n tokens yield an empty array (guarded: Spark's sequence(1, 0)
+    DESCENDS to [1, 0], which would feed slice an illegal start of 0)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_table(
@@ -143,10 +147,14 @@ def minhash_signatures(
     Computed entirely inside one projection (array transforms + array_min) —
     NO explode, NO shuffle: the signature is a map over the doc."""
     sh = word_shingles(text_col, n)
+
+    # NB: close over the seed via a factory — a `lambda s, i=i:` two-param
+    # lambda would make transform() pass the ARRAY INDEX as the second arg
+    def hash_with_seed(seed: int):
+        return lambda s: seeded_hash32(s, seed)
+
     cols = [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: seeded_hash32(s, i))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(sh, hash_with_seed(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return df.select(F.col(id_col).alias("id"), *cols).filter(
@@ -205,13 +213,16 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     )
     hashes = F.transform(toks, lambda t: seeded_hash32(t, "simhash"))
     total = F.lit(0).cast("bigint")
+
+    # closure factory: aggregate()'s merge lambda must take exactly (acc, x) —
+    # an extra defaulted param would be bound to a Column by the HOF machinery
+    def vote_bit(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     for i in range(bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashes, F.lit(0), vote_bit(i))
         total = total + F.when(vote > 0, F.lit(2**i).cast("bigint")).otherwise(0)
     return total
 

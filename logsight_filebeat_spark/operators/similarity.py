@@ -43,9 +43,11 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
+    # rank on the ROUNDED cosine: raw float ties differ across engines by
+    # ulps, which would make row_number() nondeterministic vs the oracle
     scored = (
         v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("nv")))
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("nv")), 6))
         .select("query_id", "neighbor_id", "cosine")
     )
     from pyspark.sql import Window
@@ -53,10 +55,8 @@ def brute_force_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cosine", F.round("cosine", 6))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -83,13 +83,14 @@ def srp_buckets(
     v = F.col(vec_col).cast("array<double>")
     dims = F.sequence(F.lit(0), F.size(v) - 1)
     bucket = F.lit(0).cast("bigint")
+
+    # closure factory — `lambda d, p=p:` would receive the array INDEX as p
+    def coeff_for_plane(plane: int):
+        return lambda d: srp_plane_coeff(plane, d)
+
     for p in range(num_planes):
         dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(dims, lambda d, p=p: srp_plane_coeff(p, d)),
-                lambda x, c: x * c,
-            ),
+            F.zip_with(v, F.transform(dims, coeff_for_plane(p)), lambda x, c: x * c),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -142,7 +143,7 @@ def srp_topk(
             F.broadcast(q),
             (v["bucket"] == q["bucket"]) & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .withColumn("cosine", cosine_sim(F.col("qv"), F.col("nv")))
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("nv")), 6))
         .select("query_id", "neighbor_id", "cosine")
     )
     from pyspark.sql import Window
@@ -150,8 +151,6 @@ def srp_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cosine", F.round("cosine", 6))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
