@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from logsight_filebeat_spark.functions.hashing import md5_hex, seeded_hash32
 
@@ -109,7 +110,9 @@ def jaccard_pairs(
     document frequency. Fine at verification scale; at corpus scale cap df
     per shingle (drop shingles with doc_freq > limit — they carry ~no
     Jaccard signal) or switch to minhash_lsh_candidates."""
-    inv = shingle_table(df, text_col, id_col, n)
+    inv = shingle_table(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK  # both sides of the shingle self-join
+    )
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -136,6 +139,18 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# universal-hash family over one base md5 hash: h_i = (A_i·h + B_i) mod P.
+# One md5 per shingle (the expensive part: md5+hex→int conversion), then k
+# cheap integer ops — the textbook minhash construction, and ~8× less hash
+# work than k independent seeded md5 passes. P = 2^31-1 (Mersenne prime);
+# A_i/B_i are fixed odd constants so both engines reproduce bit-for-bit.
+MINHASH_P = 2_147_483_647
+
+
+def _family_coeffs(i: int) -> tuple[int, int]:
+    return (2 * i + 1) * 40_503 + 1, i * 1_000_003 + 12_289
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -143,23 +158,28 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}): per-seed min of portable 32-bit shingle hashes.
-    Computed entirely inside one projection (array transforms + array_min) —
-    NO explode, NO shuffle: the signature is a map over the doc."""
-    sh = word_shingles(text_col, n)
-
-    # NB: close over the seed via a factory — a `lambda s, i=i:` two-param
-    # lambda would make transform() pass the ARRAY INDEX as the second arg
-    def hash_with_seed(seed: int):
-        return lambda s: seeded_hash32(s, seed)
-
-    cols = [
-        F.array_min(F.transform(sh, hash_with_seed(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col).alias("id"), *cols).filter(
-        F.col("mh_0").isNotNull()
+    """(id, mh_0..mh_{k-1}): per-family-member min over the doc's shingle
+    hashes. Computed entirely inside one projection (array transforms +
+    array_min) — NO explode, NO shuffle: the signature is a map over the doc.
+    The base hash array is materialized once per row; the k family members
+    are integer transforms of it."""
+    base = F.transform(word_shingles(text_col, n), lambda s: seeded_hash32(s, 0))
+    hashed = df.select(F.col(id_col).alias("id"), base.alias("_h"))
+    sigs = hashed.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform(F.col("_h"), _family_transform(i))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
     )
+    return sigs.filter(F.col("mh_0").isNotNull())
+
+
+def _family_transform(i: int):
+    a, b = _family_coeffs(i)
+    return lambda h: (h * a + b) % MINHASH_P
 
 
 def lsh_candidates(
@@ -167,7 +187,10 @@ def lsh_candidates(
 ) -> DataFrame:
     """Band the signature, bucket-join per band, union distinct pairs.
     Shuffle: (docs × bands) rows keyed by (band, bucket-hash) — the scalable
-    candidate generator. Returns (id_a, id_b) distinct."""
+    candidate generator. Returns (id_a, id_b) distinct.
+
+    The band union + self-join reads ``sigs`` 2×bands times — persist it
+    (minhash_lsh_pairs does) or the signature projection recomputes per read."""
     rows = num_hashes // bands
     parts = []
     for b in range(bands):
@@ -194,9 +217,13 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 2,
 ) -> DataFrame:
-    return lsh_candidates(
-        minhash_signatures(df, text_col, id_col, n, num_hashes), num_hashes, bands
-    )
+    """Signatures are persisted before the candidate join: the band union and
+    the self-join fan the signature scan out 2×bands ways, and recomputing
+    the shingle-hash projection per read dominates everything else. (At real
+    scale: write signatures to a table, then candidate-join over it.)"""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    return lsh_candidates(sigs, num_hashes, bands)
 
 
 # ---------------------------------------------------------------------------
@@ -206,25 +233,46 @@ def minhash_lsh_pairs(
 def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash over distinct lowercase tokens: bit i of the result is the
     sign of sum over tokens of ±1 by bit i of the token's portable hash.
-    One Column expression, no shuffle."""
+    One Column expression, no shuffle.
+
+    Single-pass shape: hash each token ONCE (md5 is the expensive step), fold
+    the per-bit set-bit counts elementwise into one array, then assemble the
+    fingerprint — O(tokens + bits) hash/array work instead of the naive
+    O(tokens × bits) re-hash per bit. vote_i > 0 ⇔ 2·set_count_i > n."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(
         F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
     )
     hashes = F.transform(toks, lambda t: seeded_hash32(t, "simhash"))
-    total = F.lit(0).cast("bigint")
-
-    # closure factory: aggregate()'s merge lambda must take exactly (acc, x) —
-    # an extra defaulted param would be bound to a Column by the HOF machinery
-    def vote_bit(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    for i in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), vote_bit(i))
-        total = total + F.when(vote > 0, F.lit(2**i).cast("bigint")).otherwise(0)
-    return total
+    # per-token bit vector (bit positions are compile-time ints), folded
+    # elementwise into per-bit set counts
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("bigint")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n_tok = F.size(hashes).cast("bigint")
+    weights = F.array(*[F.lit(2**i).cast("bigint") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda cnt, weight: F.when(cnt * 2 > n_tok, weight).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(
@@ -240,7 +288,7 @@ def simhash_pairs(
     chunk match) so the join is on chunk equality, not a cross product."""
     s = df.select(
         F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

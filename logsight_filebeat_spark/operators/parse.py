@@ -104,14 +104,29 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
 
 DEFAULT_CONTINUATION = r"^\s"
 
+# boundary-split equivalent of the ^\s continuation fold: an event boundary
+# is a \n whose NEXT char is not an intra-line whitespace char. (\n itself is
+# excluded from the class: an empty line does not match ^\s, so it starts a
+# new event — `\n(?!\s)` would get that wrong.) Splitting on boundaries
+# yields exactly the fold's events, with ~zero allocation per line instead of
+# a struct-accumulator fold — the measured hot spot of the parse stage.
+_DEFAULT_BOUNDARY_RE = r"\n(?![ \t\x0B\f\r])"
+
 
 def multiline_join(
     text: Column | str, continuation: str = DEFAULT_CONTINUATION
 ) -> Column:
     """Fold a page's lines into logical events: a line matching
     ``continuation`` appends (with \\n) to the previous event. Returns
-    array<string>. Pure higher-order-function fold — no shuffle, no UDF."""
+    array<string>. Pure Column expressions — no shuffle, no UDF.
+
+    Fast path: for the default ``^\\s`` continuation the fold is equivalent
+    to one regex split on event boundaries (proof in _DEFAULT_BOUNDARY_RE
+    comment; pinned by tests against the general fold). Other continuation
+    patterns use the general higher-order-function fold."""
     col = F.col(text) if isinstance(text, str) else text
+    if continuation == DEFAULT_CONTINUATION:
+        return F.split(col, _DEFAULT_BOUNDARY_RE)
     lines = F.split(col, "\n")
     acc_type = "struct<events:array<string>,cur:string>"
     folded = F.aggregate(
@@ -191,32 +206,37 @@ def with_grok_vectorized(
     Python *interpretation* — the regex engine is C). All pre/post logic
     stays in Columns; this is the only JVM→Python hop in the pipeline
     (SURVEY §4.2). Fields come back as a struct column, NULL on no-match —
-    byte-identical to grok_native and to the single-threaded oracle."""
-    out_schema = T.StructType(
+    byte-identical to grok_native and to the single-threaded oracle.
+
+    Hot-path shape: ONE ``str.extract`` pass per batch (no separate contains
+    check — compile_grok only emits non-optional capture groups, so group 1
+    participates in every match and NaN there ⇔ no match), captures cross
+    Arrow as flat string columns, and the struct is assembled JVM-side.
+    Per-row Python objects (dict-per-row) would dominate the stage cost."""
+    flat = [f"__{out}_{f}" for f in grok.fields]
+    ok_col = f"__{out}_ok"
+    mid_schema = T.StructType(
         df.schema.fields
-        + [
-            T.StructField(
-                out,
-                T.StructType([T.StructField(f, T.StringType()) for f in grok.fields]),
-            )
-        ]
+        + [T.StructField(c, T.StringType()) for c in flat]
+        + [T.StructField(ok_col, T.BooleanType())]
     )
     regex = grok.regex
-    fields = grok.fields
 
     def run(batches: Iterator) -> Iterator:
         pat = re.compile(regex)  # compile once per worker task
 
         for pdf in batches:
             pdf = pdf.copy()
-            s = pdf[col]
-            # both calls are C-vectorized over the whole Arrow batch
-            matched = s.str.contains(pat, na=False)
-            ext = s.str.extract(pat)
-            ext.columns = list(fields)
-            ext = ext.where(ext.notna(), "")  # unmatched optional group ⇒ ""
-            vals = ext.to_dict("records")
-            pdf[out] = [v if ok else None for ok, v in zip(matched, vals)]
+            ext = pdf[col].str.extract(pat)  # one C-vectorized pass
+            ok = ext.iloc[:, 0].notna()
+            for i, c in enumerate(flat):
+                pdf[c] = ext.iloc[:, i]
+            pdf[ok_col] = ok
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    mid = df.mapInPandas(run, schema=mid_schema)
+    struct = F.when(
+        F.col(ok_col),
+        F.struct(*[F.col(c).alias(f) for c, f in zip(flat, grok.fields)]),
+    )
+    return mid.withColumn(out, struct).drop(*flat, ok_col)

@@ -106,7 +106,11 @@ def srp_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-neighbor pairs: same SRP bucket (id_a < id_b).
     The LSH-bucketed scale path for embedding near-dup / ANN."""
-    b = srp_buckets(df, num_planes, id_col, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    b = srp_buckets(df, num_planes, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK  # bucket projection feeds both join sides
+    )
     x, y = b.alias("a"), b.alias("b")
     return (
         x.join(y, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

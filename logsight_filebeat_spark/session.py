@@ -57,7 +57,23 @@ def get_spark(
         # keep autoBroadcastJoinThreshold default (10m) — dims are tiny and we
         # additionally hint F.broadcast explicitly at every dim join.
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: every executor thread shares the driver JVM — size the
+        # heap for 32 allocation-heavy threads (string/array churn in the
+        # parse stage) or GC serializes the whole pipeline. 24g measured best
+        # here: bigger heaps are slower in this sandbox (a Firecracker microVM
+        # where FIRST TOUCH of new guest memory is an expensive host fault, so
+        # a huge heap pays minutes of kernel time faulting in; a small heap
+        # GC-thrashes). A real cluster sizes executor memory per-node instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # -XX:-DontCompileHugeMethods (spark.executor.extraJavaOptions on a
+        # real cluster): whole-stage codegen for this pipeline (multiline
+        # fold + grok + validation + router fused into one stage) emits
+        # methods past HotSpot's 8 KB compile limit; without the flag they
+        # run interpreted, 10-40× slower.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

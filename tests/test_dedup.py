@@ -1,0 +1,115 @@
+"""Dedup operator semantics (operators/dedup.py) on in-memory fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_shingles_basic(spark):
+    df = _docs(spark, [(1, "A quick brown Fox jumps")])
+    [row] = df.select(dedup.word_shingles("text", 3).alias("s")).collect()
+    assert row.s == [
+        "a quick brown",
+        "quick brown fox",
+        "brown fox jumps",
+    ]
+
+
+def test_word_shingles_short_text_is_empty_not_error(spark):
+    # regression: sequence(1, 0) descends in Spark — 2 tokens with n=3 used
+    # to feed slice() an illegal start of 0 and fail the task
+    df = _docs(spark, [(1, "a b"), (2, ""), (3, "x y z")])
+    rows = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", dedup.word_shingles("text", 3).alias("s")).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["x y z"]
+
+
+def test_exact_dup_groups_and_dedup(spark):
+    df = _docs(
+        spark,
+        [(1, "same text"), (2, "same text"), (5, "same text"), (9, "unique")],
+    )
+    groups = dedup.exact_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_count == 3
+    assert groups[0].keep_id == 1
+
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 9]
+
+
+def test_jaccard_pairs_identical_and_disjoint(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_signature_is_order_invariant_wrt_partitioning(spark):
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail tokens") for i in range(20)]
+    a = dedup.minhash_signatures(_docs(spark, rows))
+    b = dedup.minhash_signatures(_docs(spark, rows).repartition(7))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_simhash_properties(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "log parsing pipeline with spark streaming enabled"),
+            (2, "log parsing pipeline with spark streaming enabled"),
+            (3, "TOTALLY unrelated cryptographic hash content xyz"),
+        ],
+    )
+    vals = {r.doc_id: r.sh for r in df.select("doc_id", dedup.simhash("text").alias("sh")).collect()}
+    assert vals[1] == vals[2]  # identical text ⇒ identical fingerprint
+    assert vals[1] != vals[3]
+    assert 0 <= vals[1] < 2**32
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # nearly parallel to 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in dedup.embedding_near_dups(df, threshold=0.95).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.999

@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators import multimodal as mm
+
+
+def _payloads(spark):
+    rows = [(1, b"\x89PNG\r\n fake image bytes"), (2, b"RIFF fake wav"), (3, None)]
+    return spark.createDataFrame(rows, "media_id bigint, payload binary")
+
+
+def test_media_meta_columns(spark):
+    df = _payloads(spark)
+    rows = {r.media_id: r for r in df.select("media_id", mm.media_meta("payload").alias("m")).collect()}
+    assert rows[1].m.n_bytes == len(b"\x89PNG\r\n fake image bytes")
+    assert rows[1].m.magic_hex == "89504e47"  # PNG magic
+    assert rows[1].m.sha == hashlib.sha256(b"\x89PNG\r\n fake image bytes").hexdigest()
+    assert rows[2].m.magic_hex == "52494646"  # RIFF
+    assert rows[3].m.n_bytes is None
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"anything")
+
+
+def test_fake_decode_deterministic():
+    assert mm.fake_decode(b"") == (0, 0, 0)
+    w, h, c = mm.fake_decode(b"\x05abc\x0a")
+    assert (w, h, c) == (1 + 5 % 64, 1 + 0x0A % 64, 3)
+
+
+def test_with_decoded_drops_payload_and_decodes(spark):
+    df = _payloads(spark)
+    out = mm.with_decoded(df)
+    assert "payload" not in out.columns  # bytes never cross the shuffle
+    rows = {r.media_id: r.decoded for r in out.collect()}
+    assert rows[1].width == 1 + 0x89 % 64
+    assert rows[1].channels == 3
+    assert rows[3] is None or rows[3].width == 0
+
+
+def test_frame_sample_indices(spark):
+    df = spark.createDataFrame([(25,), (3,), (0,)], "n_frames int")
+    vals = [r.idx for r in df.select(mm.frame_sample_indices("n_frames", every=10).alias("idx")).collect()]
+    assert vals[0] == [0, 10, 20]
+    assert vals[1] == [0]
+    assert vals[2] == [0]

@@ -121,3 +121,27 @@ def test_pages_schema_and_failure_shapes(spark):
     # html wraps text
     r = df.select(F.decode("html", "UTF-8").alias("h"), "text").first()
     assert r.text in r.h
+
+
+def test_multiline_fast_path_equals_general_fold(spark):
+    """The default-continuation boundary-split fast path must produce exactly
+    the general fold's events — including empty lines, trailing newlines, and
+    leading continuations. `^[\\s]` is semantically identical to the default
+    `^\\s` but a different string, so it takes the fold path."""
+    texts = [
+        "a\nb\nc",
+        "a\n  cont\nb",
+        "a\n\nb",          # empty line is its own event, not a continuation
+        "a\n",              # trailing newline → trailing empty event
+        "  lead\nb",        # leading continuation starts its own event
+        "only",
+        "",
+        "a\n\tcont\n  more\nb\n \n x",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    fast = [r.e for r in df.select(multiline_join("text").alias("e")).collect()]
+    fold = [
+        r.e
+        for r in df.select(multiline_join("text", r"^[\s]").alias("e")).collect()
+    ]
+    assert fast == fold

@@ -1,0 +1,120 @@
+"""Similarity-search and text-analysis operator semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.functions import text as tx
+from logsight_filebeat_spark.operators import similarity as sim
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_brute_force_topk_exact_order(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = sim.brute_force_topk(vecs, q, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].rank == 1
+    assert math.isclose(out[0].cosine, 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-6)
+
+
+def test_srp_buckets_deterministic_and_sane(spark):
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(30)]
+    a = sorted(map(tuple, sim.srp_buckets(_vecs(spark, rows), 8).collect()))
+    b = sorted(map(tuple, sim.srp_buckets(_vecs(spark, rows).repartition(5), 8).collect()))
+    assert a == b  # partitioning-independent
+    assert all(0 <= bucket < 2**8 for _, bucket in a)
+
+
+def test_srp_identical_vectors_share_bucket_and_candidates(spark):
+    rows = [(1, [0.5, -0.2, 0.8]), (2, [0.5, -0.2, 0.8]), (3, [-0.5, 0.2, -0.8])]
+    cands = {(r.id_a, r.id_b) for r in sim.srp_candidate_pairs(_vecs(spark, rows), 6).collect()}
+    assert (1, 2) in cands
+    # 3 is the exact negation ⇒ opposite side of every hyperplane
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_srp_topk_ranks_within_bucket(spark):
+    rows = [(i, [1.0 + 0.01 * i, 0.5 - 0.01 * i, 0.1]) for i in range(6)]
+    vecs = _vecs(spark, rows)
+    out = sim.srp_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3, num_planes=2)
+    got = out.orderBy("rank").collect()
+    assert len(got) <= 3
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _doc(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+
+
+def test_token_counts(spark):
+    df = _doc(spark, "Hello world, this  has   six tokens")
+    [r] = df.select(
+        tx.token_count("text").alias("n"),
+        tx.bpe_ish_token_count("text").alias("b"),
+    ).collect()
+    assert r.n == 6
+    # alpha runs: Hello world this has six tokens (6) + one comma
+    assert r.b == 7
+
+
+def test_ratios_and_quality_bounds(spark):
+    good = "the quick brown fox jumps over a lazy dog in the misty morning light"
+    junk = "!!! ??? ... ###"
+    df = spark.createDataFrame([(1, good), (2, junk)], "doc_id bigint, text string")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            tx.stopword_ratio("text").alias("sw"),
+            tx.punct_ratio("text").alias("punct"),
+            tx.quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert 0 < rows[1].sw < 0.5
+    assert rows[1].punct == 0.0
+    assert rows[1].q == 1.0  # hits every heuristic band
+    # junk: 4 tokens (0.16) + avg len 3 (0.3); fails stopword + punct bands
+    assert rows[2].q < 0.5
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house is here"),
+            (2, "der Hund und die Katze das ist gut"),
+            (3, "qwerty zzz xxx"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.lang for r in df.select("doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma ALPHA beta"), (3, "alpha beta delta")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.fp for r in df.select("doc_id", tx.fingerprint("text").alias("fp")).collect()}
+    assert rows[1] == rows[2]  # order + case insensitive
+    assert rows[1] != rows[3]
