@@ -1,0 +1,78 @@
+"""Skew handling — salted aggregation for hot keys (SURVEY §4.1).
+
+The north rule calls out skew from hot domains: a handful of hosts take most
+of the rows (the synthetic pages table gives host0 ~50%), so a plain
+``groupBy(host)`` concentrates those rows in single shuffle partitions.
+AQE's skew-join splitting covers JOINS; for AGGREGATIONS over hot keys the
+standard remedy is salting: shard each key into S sub-keys, partially
+aggregate per (key, salt) — so the hot key's rows spread over S tasks — then
+merge the partials per key. Results are bit-identical to the unsalted
+aggregate for decomposable aggregates (count/sum/min/max; avg as sum+count),
+which is exactly the invariant SURVEY §7 requires ("salting must not break
+per-sink aggregate counts") and the DuckDB oracle checks.
+
+Note Spark's hash aggregate already does map-side partial aggregation, which
+handles *aggregation* skew for low-cardinality keys; explicit salting is the
+tool when per-key state is too big for one reducer (count-distinct-ish
+payloads, collect-style aggregates, or key cardinality high enough that one
+hot key still lands on one reducer). The operator exists so pipelines can
+opt in per aggregate; it composes from stock groupBy — no custom shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (partial aggregate over (keys, salt), merge of partials over keys)
+_DECOMPOSABLE = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str | None]],
+    salt_buckets: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: (out_name, kind, col) with kind ∈ count|sum|min|max (col is
+    ignored for count). ``salt_on``: column/expression whose hash spreads a
+    key's rows across buckets (default: a per-row spread via monotonically
+    varying hash of all key cols + a row-local component is NOT possible
+    purely deterministically, so default salts on the full row hash of the
+    non-key payload columns — deterministic and partition-independent).
+
+    Returns one row per key combination, identical to
+    ``df.groupBy(keys).agg(...)``.
+    """
+    for _, kind, _ in aggs:
+        if kind not in _DECOMPOSABLE:
+            raise ValueError(
+                f"aggregate kind {kind!r} is not decomposable; "
+                f"supported: {sorted(_DECOMPOSABLE)}"
+            )
+    if salt_on is None:
+        payload = [c for c in df.columns if c not in keys]
+        salt_src = F.xxhash64(*[F.col(c) for c in payload]) if payload else F.lit(0)
+    else:
+        salt_src = F.xxhash64(F.col(salt_on) if isinstance(salt_on, str) else salt_on)
+    salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(salt_buckets)))
+
+    partials = [
+        _DECOMPOSABLE[kind][0](col if col is not None else "_salt").alias(f"_p_{name}")
+        for name, kind, col in aggs
+    ]
+    merged = [
+        _DECOMPOSABLE[kind][1](f"_p_{name}").alias(name) for name, kind, _ in aggs
+    ]
+    partial = salted.groupBy(*keys, "_salt").agg(*partials)
+    return partial.groupBy(*keys).agg(*merged)

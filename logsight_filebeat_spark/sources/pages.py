@@ -23,6 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# BASELINE.json input_hint schema — also the readStream schema for the
+# micro-batch path (streaming sources must declare their schema up front)
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
 
 HOSTS = [
     # Zipf-ish: weights are assigned by the pmod bucketing below — the first

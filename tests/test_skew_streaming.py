@@ -1,0 +1,107 @@
+"""Salted aggregation equivalence + Structured Streaming micro-batch loop."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators.skew import salted_agg
+from logsight_filebeat_spark.sources.pages import pages
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    pg = pages(spark, 3000).withColumn(
+        "host", F.regexp_extract("url", "https://([^/]+)/", 1)
+    ).withColumn("n_bytes", F.octet_length("text"))
+    aggs = [
+        ("n_pages", "count", None),
+        ("byte_total", "sum", "n_bytes"),
+        ("first_ts", "min", "warc_ts"),
+        ("last_ts", "max", "warc_ts"),
+    ]
+    salted = {
+        r.host: (r.n_pages, r.byte_total, r.first_ts, r.last_ts)
+        for r in salted_agg(pg, ["host"], aggs, salt_buckets=8).collect()
+    }
+    plain = {
+        r.host: (r.n_pages, r.byte_total, r.first_ts, r.last_ts)
+        for r in pg.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_bytes").alias("byte_total"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert salted == plain
+    # the hot host really is hot (skew exists to be handled)
+    assert max(v[0] for v in salted.values()) > 0.3 * 3000
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pytest
+
+    pg = pages(spark, 10)
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_agg(pg, ["lang"], [("x", "avg", "warc_ts")])
+
+
+def test_stream_pipeline_matches_batch_and_resumes(spark, tmp_path):
+    from logsight_filebeat_spark.entry_queries_corpus import _pages_plan
+    from logsight_filebeat_spark.streaming.micro_batch import run_stream
+
+    in_dir = str(tmp_path / "in")
+    sink_root = str(tmp_path / "out")
+    plan = _pages_plan(spark)
+
+    pages(spark, 500, seed=7).coalesce(1).write.mode("append").parquet(in_dir)
+    q = run_stream(spark, plan, in_dir, sink_root)
+    q.awaitTermination(120)
+
+    routed_path = os.path.join(sink_root, "routed")
+    first_count = spark.read.parquet(routed_path).count()
+    batch_count = plan.mapped(pages(spark, 500, seed=7)).count()
+    assert first_count == batch_count
+
+    # drain again with no new input: checkpoint says nothing to do
+    q2 = run_stream(spark, plan, in_dir, sink_root)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(routed_path).count() == first_count
+
+    # new file lands → only the new pages are processed (registrar resume)
+    pages(spark, 200, seed=8).coalesce(1).write.mode("append").parquet(in_dir)
+    q3 = run_stream(spark, plan, in_dir, sink_root)
+    q3.awaitTermination(120)
+    extra = plan.mapped(pages(spark, 200, seed=8)).count()
+    assert spark.read.parquet(routed_path).count() == first_count + extra
+
+
+def test_streaming_aggregates_shape(spark, tmp_path):
+    from logsight_filebeat_spark.entry_queries_corpus import _pages_plan
+    from logsight_filebeat_spark.streaming.micro_batch import (
+        read_pages_stream,
+        streaming_aggregates,
+    )
+
+    in_dir = str(tmp_path / "in")
+    pages(spark, 300, seed=7).coalesce(1).write.mode("append").parquet(in_dir)
+    plan = _pages_plan(spark)
+    agg = streaming_aggregates(plan, read_pages_stream(spark, in_dir))
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("agg_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from agg_test").collect()
+    assert rows
+    assert {"hour_window", "sink", "event_count", "byte_total", "failed_count"} <= set(
+        rows[0].asDict()
+    )
+    total = sum(r.event_count for r in rows)
+    assert total == plan.mapped(pages(spark, 300, seed=7)).count()
