@@ -1,0 +1,56 @@
+"""Harvester source (sources/logfiles.py) over the committed .log fixtures."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.sources.logfiles import (
+    harvest_events,
+    logfiles_as_pages,
+    read_log_files,
+)
+
+LOGS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "logs")
+
+
+def test_read_log_files_one_row_per_file(spark):
+    df = read_log_files(spark, LOGS)
+    assert df.count() == 3
+    names = sorted(os.path.basename(r.file) for r in df.collect())
+    assert names == [
+        "app-2024-03-01.log",
+        "app-2024-03-02.log",
+        "worker-2024-03-02.log",
+    ]
+
+
+def test_harvest_events_multiline_and_no_phantom_tail(spark):
+    ev = harvest_events(spark, LOGS)
+    by_file = {}
+    for r in ev.collect():
+        by_file.setdefault(os.path.basename(r.file), []).append(r)
+    # app-01: 6 lines, 2 stack-trace continuations merge into the ERROR event
+    app1 = sorted(by_file["app-2024-03-01.log"], key=lambda r: r.event_idx)
+    assert len(app1) == 4
+    err = [r for r in app1 if "ERROR" in r.event_text][0]
+    assert "Handler.java:42" in err.event_text and err.event_text.count("\n") == 2
+    # worker: EXCEPTION event carries its tab-indented trace
+    w = sorted(by_file["worker-2024-03-02.log"], key=lambda r: r.event_idx)
+    assert len(w) == 2
+    assert "IllegalStateException" in w[1].event_text
+    # no empty phantom events from trailing newlines
+    assert ev.filter(F.col("event_text") == "").count() == 0
+
+
+def test_logfiles_as_pages_runs_full_pipeline(spark):
+    from logsight_filebeat_spark.entry_queries_corpus import _pages_plan
+
+    pg = logfiles_as_pages(spark, LOGS)
+    assert set(pg.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    routed = _pages_plan(spark).mapped(pg)
+    counts = {r.sink: r.n for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # file:// urls match no route rule → constant fallback; bad rows quarantine
+    assert counts.get("default", 0) >= 7
+    assert counts.get("_quarantine", 0) >= 3  # date-only ts, bogus level, …
