@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the scale properties SURVEY §4 promises.
+
+These pin the *plan shape*, not timings: column pruning reaching the scan,
+predicate pushdown, broadcast joins for dim lookups, and no Python eval in
+the Column-only path. A regression here is a silent 100TB-scale bug even
+when results stay correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.entry_queries_corpus import _pages_plan, pages_df
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAGES = os.path.join(REPO, "data", "pages_sf0.001.parquet")
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_flagship_prunes_html_from_scan(spark):
+    from logsight_filebeat_spark.operators.aggregate import sink_hour_aggregates
+
+    pg = spark.read.parquet(PAGES)
+    agg = sink_hour_aggregates(
+        _pages_plan(spark).mapped(pg), ts_col="warc_ts", bytes_cols=("message",)
+    )
+    plan = _formatted(agg)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    # the aggregate never touches html — a scan reading it would drag the
+    # biggest column of a 100TB table through the parse stage
+    assert all("html" not in l for l in read_schema), read_schema
+
+
+def test_flagship_uses_broadcast_joins_for_lookups(spark):
+    pg = spark.read.parquet(PAGES)
+    plan = _formatted(_pages_plan(spark).mapped(pg))
+    # two broadcast joins (host_meta + lang_meta); formatted mode prints each
+    # node in the tree and again in the details section
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_flagship_column_path_has_no_python_eval(spark):
+    pg = spark.read.parquet(PAGES)
+    plan = _formatted(_pages_plan(spark).mapped(pg))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_vectorized_grok_is_single_python_stage(spark):
+    from logsight_filebeat_spark.operators.parse import (
+        compile_grok,
+        explode_multiline,
+        with_grok_vectorized,
+    )
+    from logsight_filebeat_spark.plans.pipeline import DEFAULT_GROK
+
+    pg = spark.read.parquet(PAGES).select("url", "text")
+    df = explode_multiline(pg, "text", "event_text").select("url", "event_text")
+    out = with_grok_vectorized(df, "event_text", compile_grok(DEFAULT_GROK))
+    plan = _formatted(out)
+    import re
+
+    # exactly ONE Python stage (formatted mode lists each node once in the
+    # tree and once in the details section → one node id)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    pg = spark.read.parquet(PAGES).filter(F.col("lang") == "en").select("url", "lang")
+    plan = _formatted(pg)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "lang" in pushed and "[]" not in pushed.split("PushedFilters")[1][:40]
+
+
+def test_exact_dedup_is_two_hash_shuffles_not_a_sort(spark):
+    from logsight_filebeat_spark.operators.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 10}") for i in range(100)], "doc_id bigint, text string"
+    )
+    plan = _formatted(dedup_exact(docs))
+    # agg+semi-join shape hashes; a window implementation would sort
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
