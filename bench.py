@@ -24,7 +24,7 @@ Output (stdout, single line):
    "scaling": {...}}
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_SCALING=0 to
-skip the two extra scaling sessions, SPARK_GRAFT_BENCH_RUNS (default 2).
+skip the two extra scaling sessions, SPARK_GRAFT_BENCH_RUNS (default 3).
 """
 
 from __future__ import annotations

@@ -71,16 +71,13 @@ def srp_plane_coeff(plane: int, dim: Column) -> Column:
     return (h % 2001 - 1000).cast("double") / 1000.0
 
 
-def srp_buckets(
-    df: DataFrame,
-    num_planes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, bucket): bucket bit p = sign(v · plane_p). Explode-free: each
-    plane's dot product folds over the vector with per-dimension coefficients
-    generated inline — one projection, no shuffle."""
-    v = F.col(vec_col).cast("array<double>")
+def srp_bucket_expr(vec_col: str | Column, num_planes: int = 8) -> Column:
+    """Bucket Column: bit p = sign(v · plane_p). Explode-free: each plane's
+    dot product folds over the vector with per-dimension coefficients
+    generated inline — pure projection, no shuffle."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
     dims = F.sequence(F.lit(0), F.size(v) - 1)
     bucket = F.lit(0).cast("bigint")
 
@@ -95,7 +92,20 @@ def srp_buckets(
             lambda s, x: s + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(0)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return bucket
+
+
+def srp_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) per vector — see srp_bucket_expr."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        srp_bucket_expr(vec_col, num_planes).alias("bucket"),
+    )
 
 
 def srp_candidate_pairs(
@@ -128,20 +138,19 @@ def srp_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: exact cosine ranking restricted to the query's SRP bucket.
-    Fewer planes ⇒ bigger buckets ⇒ better recall, more compute."""
-    vb = srp_buckets(vectors, num_planes, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
-    )
-    qb = srp_buckets(queries, num_planes, id_col, vec_col).withColumnRenamed(
-        "id", "query_id"
-    )
+    Fewer planes ⇒ bigger buckets ⇒ better recall, more compute. The bucket
+    is a projected Column (srp_bucket_expr) — no join-back by id."""
+    bucket = srp_bucket_expr(vec_col, num_planes)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
-    ).join(vb, "neighbor_id")
+        bucket.alias("bucket"),
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).join(qb, "query_id")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        bucket.alias("bucket"),
+    )
     scored = (
         v.join(
             F.broadcast(q),
