@@ -185,6 +185,27 @@ def main() -> None:
             _noop(queries[name](spark, SF_DIR))
             timings[name] = round(time.time() - t0, 3)
             print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
+
+        # html-column scan rate: the text pipeline prunes html away, so the
+        # BASELINE "GB/s of html scanned" is measured by the multimodal
+        # metadata pass (octet_length + magic + sha256 over every payload)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from logsight_filebeat_spark.operators.multimodal import media_meta
+
+        t0 = time.time()
+        _noop(
+            spark.read.parquet(pages_path).select(
+                media_meta("html").alias("meta")
+            )
+        )
+        timings["html_media_meta"] = round(time.time() - t0, 3)
+        html_gbs = facts["html_bytes"] / timings["html_media_meta"] / 1e9
+        print(
+            f"html_media_meta: {timings['html_media_meta']:.2f}s "
+            f"({html_gbs:.3f} GB/s html)",
+            file=sys.stderr,
+        )
         spark.stop()
 
         # pipeline throughput at two parallelism levels over the same parquet
@@ -238,6 +259,7 @@ def main() -> None:
         "events": facts["events"],
         "events_per_sec": round(eps, 1),
         "gb_per_sec": round(gbs, 4),
+        "html_gb_per_sec": round(html_gbs, 4),
     }
     if scaling:
         out["scaling"] = scaling
