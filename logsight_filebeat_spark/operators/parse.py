@@ -72,7 +72,11 @@ class CompiledGrok:
 
     @property
     def python(self) -> re.Pattern:
-        return re.compile(self.regex)
+        # re.ASCII pins \w/\s/\b/\d to their RE2/Java (ASCII) definitions —
+        # without it Python's unicode classes diverge from the native Column
+        # path (and from the Go-RE2 reference) on non-ASCII word characters,
+        # silently breaking the byte-identity invariant
+        return re.compile(self.regex, re.ASCII)
 
 
 def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
@@ -223,7 +227,10 @@ def with_grok_vectorized(
     regex = grok.regex
 
     def run(batches: Iterator) -> Iterator:
-        pat = re.compile(regex)  # compile once per worker task
+        # compile once per worker task; re.ASCII = RE2/Java class semantics
+        # (see CompiledGrok.python) so captures stay byte-identical to the
+        # native Column path on non-ASCII input
+        pat = re.compile(regex, re.ASCII)
 
         for pdf in batches:
             pdf = pdf.copy()

@@ -1,0 +1,100 @@
+"""Property-based invariants (hypothesis): the byte-identity guarantees.
+
+Each example batch runs one Spark job, so max_examples is kept small — the
+value is the adversarial string shapes hypothesis finds (newlines, tabs,
+regex metacharacters, unicode), not the example count.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.operators.parse import (
+    compile_grok,
+    multiline_join,
+    with_grok_native,
+    with_grok_vectorized,
+)
+
+GROK = compile_grok("%{NOTSPACE:timestamp} %{WORD:level} %{GREEDYDATA:message}")
+ORACLE = re.compile(GROK.regex, re.ASCII)  # RE2/Java class semantics
+
+# log-ish plus adversarial: whitespace variants, metacharacters, unicode
+line_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcZ019 .*+?()[]\\|^$-_:\t") + ["é", "軸"]
+    ),
+    max_size=24,
+)
+doc_text = st.lists(line_text, max_size=6).map("\n".join)
+
+
+def _events_oracle(text: str) -> list[str]:
+    """Single-threaded Python reimplementation of the multiline fold."""
+    events: list[str] = []
+    cur: str | None = None
+    for line in text.split("\n"):
+        if cur is not None and re.match(r"\s", line):
+            cur = cur + "\n" + line
+        else:
+            if cur is not None:
+                events.append(cur)
+            cur = line
+    if cur is not None:
+        events.append(cur)
+    return events
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_text, min_size=1, max_size=20))
+def test_multiline_fast_path_matches_python_oracle(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.e for r in df.select(multiline_join("text").alias("e")).collect()]
+    assert got == [_events_oracle(t) for t in texts]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(line_text, min_size=1, max_size=30))
+def test_grok_native_and_vectorized_match_python_re(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    native = {
+        r.i: r.p
+        for r in with_grok_native(df, "t", GROK, "p").select("i", "p").collect()
+    }
+    vect = {
+        r.i: r.p
+        for r in with_grok_vectorized(df, "t", GROK, "p").select("i", "p").collect()
+    }
+    for i, t in enumerate(texts):
+        m = ORACLE.search(t)
+        expected = None if m is None else tuple(m.group(g) or "" for g in (1, 2, 3))
+        got_n = None if native[i] is None else tuple(native[i])
+        got_v = None if vect[i] is None else tuple(vect[i])
+        assert got_n == expected, f"native {t!r}"
+        assert got_v == expected, f"vectorized {t!r}"
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="ab c\t", max_size=30), min_size=2, max_size=15))
+def test_jaccard_pairs_bounded_and_exact(spark, texts):
+    from logsight_filebeat_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = jaccard_pairs(df, threshold=0.0).collect()
+    # python oracle over the same shingle definition
+    sh = {
+        r.doc_id: set(r.s)
+        for r in df.select("doc_id", word_shingles("text", 3).alias("s")).collect()
+    }
+    for r in pairs:
+        a, b = sh[r.id_a], sh[r.id_b]
+        assert a and b
+        expected = round(len(a & b) / len(a | b), 6)
+        assert r.jaccard == expected
+        assert 0.0 <= r.jaccard <= 1.0
