@@ -103,6 +103,81 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
 
 
 # ---------------------------------------------------------------------------
+# dissect — literal-delimiter tokenization (the cheap non-regex path)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CompiledDissect:
+    """Beats-style dissect pattern: ``%{a} %{b} - %{rest}`` splits on the
+    exact literal delimiters between fields; the final field takes the
+    remainder. No regex at runtime — whole-stage-codegen string finds."""
+
+    source: str
+    fields: tuple[str, ...]
+    delimiters: tuple[str, ...]  # len == len(fields) - 1; literal separators
+
+
+_DISSECT_REF = re.compile(r"%\{(\w+)\}")
+
+
+def compile_dissect(pattern: str) -> CompiledDissect:
+    """Compile on the driver; errors eagerly like compile_grok. The pattern
+    must start with a field and alternate field/delimiter (a leading literal
+    prefix is folded into the first delimiter check by stripping it)."""
+    parts = _DISSECT_REF.split(pattern)
+    # parts = [prefix, f1, d1, f2, d2, ..., fn, suffix]
+    if len(parts) < 3 or parts[0] != "":
+        raise ValueError(
+            f"dissect pattern {pattern!r} must start with a %{{field}}"
+        )
+    if parts[-1] != "":
+        raise ValueError(
+            f"dissect pattern {pattern!r} must end with a %{{field}} "
+            "(the last field takes the remainder)"
+        )
+    fields = tuple(parts[1::2])
+    delimiters = tuple(parts[2:-1:2])
+    if any(d == "" for d in delimiters):
+        raise ValueError(
+            f"dissect pattern {pattern!r} has adjacent fields with no "
+            "literal delimiter between them"
+        )
+    if len(set(fields)) != len(fields):
+        raise ValueError(f"dissect pattern {pattern!r} repeats a field name")
+    return CompiledDissect(source=pattern, fields=fields, delimiters=delimiters)
+
+
+def dissect_native(col: Column | str, dissect: CompiledDissect) -> Column:
+    """One struct column of captures; NULL struct when any delimiter is
+    missing (row failure, matching the grok no-match semantics). Pure
+    substring arithmetic on ``instr`` positions — no regex engine at all,
+    the cheapest extraction path for fixed-layout records."""
+    c = F.col(col) if isinstance(col, str) else col
+    remaining = c
+    values: list[Column] = []
+    ok = F.lit(True)
+    for delim in dissect.delimiters:
+        pos = F.instr(remaining, F.lit(delim))  # 1-based; 0 = not found
+        ok = ok & (pos > 0)
+        values.append(F.substring(remaining, 1, pos - 1))
+        remaining = F.substring(
+            remaining, pos + len(delim), F.length(remaining)
+        )
+    values.append(remaining)
+    struct = F.struct(
+        *[v.alias(name) for v, name in zip(values, dissect.fields)]
+    )
+    return F.when(ok, struct)
+
+
+def with_dissect(
+    df: DataFrame, col: str, dissect: CompiledDissect, out: str = "parsed"
+) -> DataFrame:
+    return df.withColumn(out, dissect_native(col, dissect))
+
+
+# ---------------------------------------------------------------------------
 # multiline join
 # ---------------------------------------------------------------------------
 

@@ -145,3 +145,34 @@ def test_multiline_fast_path_equals_general_fold(spark):
         for r in df.select(multiline_join("text", r"^[\s]").alias("e")).collect()
     ]
     assert fast == fold
+
+
+def test_compile_dissect_and_errors():
+    from logsight_filebeat_spark.operators.parse import CompiledDissect, compile_dissect
+
+    d = compile_dissect("%{ts} %{level} - %{msg}")
+    assert d.fields == ("ts", "level", "msg")
+    assert d.delimiters == (" ", " - ")
+    for bad in ("no fields", "lit %{a}", "%{a} trailing", "%{a}%{b}", "%{a} %{a}"):
+        with pytest.raises(ValueError):
+            compile_dissect(bad)
+
+
+def test_dissect_native_semantics(spark):
+    from logsight_filebeat_spark.operators.parse import compile_dissect, with_dissect
+
+    d = compile_dissect("%{ts} %{level} %{msg}")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01T00:00:00Z INFO all good here"),
+            (2, "one two"),           # missing second delimiter → row fails
+            (3, " leading space x"),  # first capture is empty, still a match
+            (4, "a b c\nd e"),        # remainder keeps the newline
+        ],
+        "i long, t string",
+    )
+    rows = {r.i: r.parsed for r in with_dissect(df, "t", d).collect()}
+    assert tuple(rows[1]) == ("2024-01-01T00:00:00Z", "INFO", "all good here")
+    assert rows[2] is None
+    assert tuple(rows[3]) == ("", "leading", "space x")
+    assert tuple(rows[4]) == ("a", "b", "c\nd e")
