@@ -30,7 +30,16 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # timestamps render in the SESSION timezone; the DuckDB oracle is
+            # tz-naive UTC, so pin it here — the driver's own session may not
+            # be UTC-configured (runtime-settable, no session restart needed)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn
