@@ -8,24 +8,26 @@ functions/hashing.py) so the driver's oracle can verify values.
 Scale design (the point of each variant):
   * exact       — one hash-groupBy; shuffle on a 128-bit key, no skew.
   * n-gram Jaccard — EXACT pairwise similarity via shingle inverted index;
-    the shingle join explodes on hot shingles (stopword shingles can touch
-    every doc) — correct at small scale, the reason MinHash exists at 100 TB.
+    hot (stopword) shingles explode the self-join, so the scale form caps
+    per-shingle doc-frequency (max_doc_freq) before joining.
   * MinHash+LSH — fixed-size signature per doc (k hashes), band-bucket join:
     candidates only for docs sharing a band. Shuffle is O(docs × bands) tiny
     rows; hot buckets are bounded by band width. THE scale path for text.
   * SimHash     — one 32/64-bit int per doc; near-dups = small Hamming
-    distance. Cheapest signature; pairs via self-join on bucket prefixes or
-    (small scale) a guarded cross-join.
-  * embedding cosine — exact pairwise over a vector column; at scale use the
-    LSH/IVF variants in operators/similarity.py to generate candidates.
+    distance. Pairs via pigeonhole chunk blocking (equi-join on fingerprint
+    bit-slices, zero recall loss) — the exact all-pairs self-join survives
+    only as simhash_pairs_exact, a test oracle.
+  * embedding cosine — exact pairwise over a vector column (baseline); the
+    composed scale path is similarity.embedding_near_dups_lsh (SRP-bucket
+    candidates → exact cosine verify).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from logsight_filebeat_spark.functions.caching import track_persist
 from logsight_filebeat_spark.functions.hashing import md5_hex, seeded_hash32
 
 
@@ -102,17 +104,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard over candidate pairs sharing ≥1 shingle.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
 
     Scale note: the shingle self-join is quadratic in the hottest shingle's
-    document frequency. Fine at verification scale; at corpus scale cap df
-    per shingle (drop shingles with doc_freq > limit — they carry ~no
-    Jaccard signal) or switch to minhash_lsh_candidates."""
-    inv = shingle_table(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK  # both sides of the shingle self-join
-    )
+    document frequency — a stopword shingle can touch every doc. The scale
+    guard is ``max_doc_freq``: shingles appearing in more than that many
+    docs are dropped from the shingle universe BEFORE the self-join (they
+    carry ~no Jaccard signal — two docs sharing only stopword shingles are
+    not near-dups), bounding the join fan-out at candidates × max_doc_freq.
+    Jaccard is then computed over the capped universe (per-doc sizes are
+    recounted over surviving shingles, so the measure stays a true Jaccard
+    of the reduced sets). ``None`` keeps the exact full-universe form —
+    the verification-scale baseline."""
+    inv = shingle_table(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        inv = inv.drop("n_shingles").join(keep, ["shingle"], "inner")
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        inv = inv.join(sizes, ["id"], "inner")
+    inv = track_persist(inv)  # both sides of the shingle self-join
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -190,7 +208,8 @@ def lsh_candidates(
     candidate generator. Returns (id_a, id_b) distinct.
 
     The band union + self-join reads ``sigs`` 2×bands times — persist it
-    (minhash_lsh_pairs does) or the signature projection recomputes per read."""
+    (minhash_lsh_pairs does via track_persist) or the signature projection
+    recomputes per read."""
     rows = num_hashes // bands
     parts = []
     for b in range(bands):
@@ -220,9 +239,9 @@ def minhash_lsh_pairs(
     """Signatures are persisted before the candidate join: the band union and
     the self-join fan the signature scan out 2×bands ways, and recomputing
     the shingle-hash projection per read dominates everything else. (At real
-    scale: write signatures to a table, then candidate-join over it.)"""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    scale: write signatures to a table, then candidate-join over it.)
+    Caller releases the cache after its action (functions/caching.py)."""
+    sigs = track_persist(minhash_signatures(df, text_col, id_col, n, num_hashes))
     return lsh_candidates(sigs, num_hashes, bands)
 
 
@@ -275,6 +294,36 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     )
 
 
+def simhash_chunks(
+    sigs: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Pigeonhole blocking index over (id, sh): each fingerprint explodes to
+    ``max_hamming + 1`` rows of (id, sh, chunk_idx, chunk_val), the chunks
+    being disjoint bit-slices of the fingerprint. If two fingerprints differ
+    in ≤ max_hamming bits, those differing bits land in at most max_hamming
+    of the max_hamming+1 chunks — so AT LEAST ONE chunk is bit-identical,
+    and an equi-join on (chunk_idx, chunk_val) finds every qualifying pair
+    with zero recall loss (the classic Hamming-pigeonhole construction)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-bits // n_chunks)  # ceil — last chunk may be narrower
+    mask = F.lit((1 << chunk_bits) - 1)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("sh"), i * chunk_bits)
+                .bitwiseAND(mask)
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    return sigs.select("id", "sh", F.explode(chunks).alias("c")).select(
+        "id", "sh", F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -282,13 +331,50 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Small-scale exact form:
-    self-join (id_a < id_b) + bit_count(xor). At corpus scale, block first on
-    simhash byte-chunks (pigeonhole: distance ≤ 3 over 4 chunks ⇒ ≥1 exact
-    chunk match) so the join is on chunk equality, not a cross product."""
-    s = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — blocked.
+
+    Scale shape: NO cross join anywhere. Fingerprints explode to
+    max_hamming+1 chunk rows (simhash_chunks), candidates come from an
+    equi-join on (chunk_idx, chunk_val) — a hash-partitioned shuffle on the
+    chunk key, near-linear in docs for well-spread fingerprints — then exact
+    Hamming verification on the candidates, then distinct() (a pair closer
+    than one chunk's worth of agreement matches in several chunks). Proven
+    identical to the exact all-pairs form (simhash_pairs_exact) by the
+    pigeonhole argument and pinned by tests + the dd_simhash oracle."""
+    s = df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
+    ch = track_persist(simhash_chunks(s, bits, max_hamming))
+    a, b = ch.alias("a"), ch.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All-pairs reference form: self-join (id_a < id_b) + bit_count(xor).
+    O(n²) rows through the join — kept ONLY as the test oracle proving the
+    blocked form loses nothing; never the production path."""
+    s = track_persist(
+        df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
+    )
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
@@ -322,8 +408,9 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Exact pairwise cosine ≥ threshold, id_a < id_b. Quadratic — the
-    verification-scale baseline; candidate generation at scale comes from
-    similarity.srp_buckets (LSH) instead of the full cross join."""
+    verification-scale baseline; the one-call scale path is
+    similarity.embedding_near_dups_lsh (SRP-bucket candidates → exact
+    cosine verify, bucket equi-join instead of this cross join)."""
     s = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )

@@ -60,11 +60,58 @@ BASE_PATTERNS: dict[str, str] = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
+def _decapture(fragment: str) -> str:
+    """Rewrite every bare capturing ``(`` in a regex fragment to ``(?:``.
+
+    Guarantees that the ONLY capturing groups in a compiled grok regex are
+    the field groups, so field i ⇔ group i+1 holds even when the user writes
+    literal parens around refs (``(%{WORD:x})?``) or supplies extra vocab
+    with parens — otherwise the field→group mapping silently shifts and
+    every extraction is wrong. Semantics-preserving under the engine's
+    documented RE2-style dialect: RE2 has no backreferences, so a capturing
+    vs non-capturing group cannot change what matches."""
+    out: list[str] = []
+    i, n = 0, len(fragment)
+    in_class = False
+    while i < n:
+        ch = fragment[i]
+        if ch == "\\":
+            out.append(fragment[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            # leading ^ and a literal ] right after it stay inside the class
+            if i < n and fragment[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and fragment[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        if ch == "(" and not (i + 1 < n and fragment[i + 1] == "?"):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class CompiledGrok:
     """Driver-side compiled grok pattern (compile once, run everywhere —
     the analogue of the reference hoisting regexp.Compile to config time,
-    plugin/config.go:42)."""
+    plugin/config.go:42). Invariant (enforced by _decapture): the regex's
+    capturing groups are exactly the field groups, in order."""
 
     source: str
     regex: str  # RE2∩Java∩Python-safe
@@ -81,25 +128,78 @@ class CompiledGrok:
 
 def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
     """Expand %{BASE:field} refs into one regex with positional groups.
-    Unnamed refs (%{BASE}) expand non-capturing. Unknown base ⇒ ValueError
-    at compile time (driver), mirroring config.go:42-45."""
+    Unnamed refs (%{BASE}) expand non-capturing; literal parens in the
+    pattern or vocab are rewritten non-capturing (_decapture) so group
+    numbering stays field-positional. Unknown base ⇒ ValueError at compile
+    time (driver), mirroring config.go:42-45."""
     vocab = {**BASE_PATTERNS, **(extra_patterns or {})}
     fields: list[str] = []
-
-    def sub(m: re.Match) -> str:
+    parts: list[str] = []
+    pos = 0
+    for m in _GROK_REF.finditer(pattern):
+        parts.append(_decapture(pattern[pos : m.start()]))
         base, field = m.group(1), m.group(2)
         if base not in vocab:
             raise ValueError(f"unknown grok pattern %{{{base}}}")
+        body = _decapture(vocab[base])
         if field:
             fields.append(field)
-            return f"({vocab[base]})"
-        return f"(?:{vocab[base]})"
-
-    regex = _GROK_REF.sub(sub, pattern)
+            parts.append(f"({body})")
+        else:
+            parts.append(f"(?:{body})")
+        pos = m.end()
+    parts.append(_decapture(pattern[pos:]))
+    regex = "".join(parts)
     if not fields:
         raise ValueError(f"grok pattern {pattern!r} captures no fields")
-    re.compile(regex)  # validate now, on the driver
+    compiled = re.compile(regex)  # validate now, on the driver
+    if compiled.groups != len(fields):  # _decapture invariant
+        raise ValueError(
+            f"grok pattern {pattern!r} compiled to {compiled.groups} capture "
+            f"groups for {len(fields)} fields — unsupported regex construct"
+        )
     return CompiledGrok(source=pattern, regex=regex, fields=tuple(fields))
+
+
+# ---------------------------------------------------------------------------
+# grok pattern lists — first-match-wins fallback chains
+# ---------------------------------------------------------------------------
+
+# reserved name for the which-pattern-matched output column suffix
+PATTERN_IDX_SUFFIX = "_pattern"
+
+
+@dataclass(frozen=True)
+class CompiledGrokSet:
+    """An ordered list of compiled grok patterns tried first-match-wins —
+    the Beats processors' multi-pattern match config (a list of patterns per
+    processor; framework dep /root/reference/go.mod:139). Real corpora are
+    heterogeneous: one pattern per pipeline quarantines every other format.
+
+    ``fields`` is the union of the member patterns' fields in first-
+    appearance order; a matched row carries NULL for fields its winning
+    pattern does not capture (and '' for its non-participating optional
+    groups, matching single-pattern semantics)."""
+
+    patterns: tuple[CompiledGrok, ...]
+    fields: tuple[str, ...]
+
+
+def compile_grok_set(
+    patterns: list[str] | tuple[str, ...],
+    extra_patterns: dict[str, str] | None = None,
+) -> CompiledGrokSet:
+    """Compile each pattern eagerly on the driver (any bad member raises
+    here, mirroring config.go:42-45) and build the union field schema."""
+    if not patterns:
+        raise ValueError("grok pattern set is empty")
+    compiled = tuple(compile_grok(p, extra_patterns) for p in patterns)
+    fields: list[str] = []
+    for g in compiled:
+        for f in g.fields:
+            if f not in fields:
+                fields.append(f)
+    return CompiledGrokSet(patterns=compiled, fields=tuple(fields))
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +373,46 @@ def with_grok_native(
     return df.withColumn(out, grok_native(col, grok))
 
 
+def grok_set_native(col: Column | str, gs: CompiledGrokSet) -> tuple[Column, Column]:
+    """First-match-wins over the pattern list, all in Columns: one
+    ``when(rlike(p0), struct0).when(rlike(p1), struct1)...`` chain — Catalyst
+    short-circuits, so a row matched by pattern 0 never evaluates pattern 1's
+    regex. Returns (struct_col, pattern_idx_col); both NULL when no pattern
+    matches (the row-failure path). Each per-pattern struct is widened to the
+    union field schema with NULL for fields that pattern lacks."""
+    c = F.col(col) if isinstance(col, str) else col
+    struct_chain: Column | None = None
+    idx_chain: Column | None = None
+    for i, g in enumerate(gs.patterns):
+        matched = c.rlike(g.regex)
+        cols = []
+        for name in gs.fields:
+            if name in g.fields:
+                cols.append(
+                    F.regexp_extract(c, g.regex, g.fields.index(name) + 1).alias(name)
+                )
+            else:
+                cols.append(F.lit(None).cast("string").alias(name))
+        s = F.struct(*cols)
+        idx = F.lit(i)
+        if struct_chain is None:
+            struct_chain = F.when(matched, s)
+            idx_chain = F.when(matched, idx)
+        else:
+            struct_chain = struct_chain.when(matched, s)
+            idx_chain = idx_chain.when(matched, idx)
+    return struct_chain, idx_chain
+
+
+def with_grok_set_native(
+    df: DataFrame, col: str, gs: CompiledGrokSet, out: str = "parsed"
+) -> DataFrame:
+    """Adds ``out`` (union-schema capture struct, NULL = no pattern matched)
+    and ``out + PATTERN_IDX_SUFFIX`` (int index of the winning pattern)."""
+    struct, idx = grok_set_native(col, gs)
+    return df.withColumn(out, struct).withColumn(out + PATTERN_IDX_SUFFIX, idx)
+
+
 # ---------------------------------------------------------------------------
 # grok execution — Arrow-vectorized path (mapInPandas)
 # ---------------------------------------------------------------------------
@@ -287,10 +427,14 @@ def with_grok_vectorized(
     (SURVEY §4.2). Fields come back as a struct column, NULL on no-match —
     byte-identical to grok_native and to the single-threaded oracle.
 
-    Hot-path shape: ONE ``str.extract`` pass per batch (no separate contains
-    check — compile_grok only emits non-optional capture groups, so group 1
-    participates in every match and NaN there ⇔ no match), captures cross
-    Arrow as flat string columns, and the struct is assembled JVM-side.
+    Hot-path shape: ONE ``str.extract`` pass per batch. The pattern is
+    wrapped in a sentinel whole-match group — group 0 of the extract output
+    participates in EVERY match, so NaN there ⇔ no match even when a field
+    group is optional (ADVICE r01: the old NaN-in-group-1 signal nulled
+    whole matched rows for optional fields). Non-participating groups of
+    matched rows fill '' — exactly the native path's regexp_extract
+    semantics, so byte-identity holds for every pattern shape. Captures
+    cross Arrow as flat string columns; the struct is assembled JVM-side.
     Per-row Python objects (dict-per-row) would dominate the stage cost."""
     flat = [f"__{out}_{f}" for f in grok.fields]
     ok_col = f"__{out}_ok"
@@ -304,15 +448,18 @@ def with_grok_vectorized(
     def run(batches: Iterator) -> Iterator:
         # compile once per worker task; re.ASCII = RE2/Java class semantics
         # (see CompiledGrok.python) so captures stay byte-identical to the
-        # native Column path on non-ASCII input
-        pat = re.compile(regex, re.ASCII)
+        # native Column path on non-ASCII input. Sentinel group shifts the
+        # field groups to 2..n+1 in this pattern only.
+        pat = re.compile(f"({regex})", re.ASCII)
 
         for pdf in batches:
             pdf = pdf.copy()
             ext = pdf[col].str.extract(pat)  # one C-vectorized pass
-            ok = ext.iloc[:, 0].notna()
+            ok = ext.iloc[:, 0].notna()  # sentinel: always participates
+            ext = ext.fillna("")  # non-participating field in a matched row
+            # ⇒ '' (native parity); unmatched rows are masked by ok anyway
             for i, c in enumerate(flat):
-                pdf[c] = ext.iloc[:, i]
+                pdf[c] = ext.iloc[:, i + 1]
             pdf[ok_col] = ok
             yield pdf
 
@@ -322,3 +469,67 @@ def with_grok_vectorized(
         F.struct(*[F.col(c).alias(f) for c, f in zip(flat, grok.fields)]),
     )
     return mid.withColumn(out, struct).drop(*flat, ok_col)
+
+
+def with_grok_set_vectorized(
+    df: DataFrame, col: str, gs: CompiledGrokSet, out: str = "parsed"
+) -> DataFrame:
+    """Grok-set fallback chain on the Arrow path: still a single mapInPandas
+    stage. Per batch, pattern i only runs over rows the first i patterns
+    left unmatched (the remaining-mask shrinks monotonically, so total regex
+    work ≈ one pass over the batch plus the residue) — same cost shape as
+    the reference trying patterns in order, but batched. Unmatched groups of
+    matched rows fill '' (native regexp_extract parity); fields the winning
+    pattern lacks stay NULL; the pattern index column is NULL on no match."""
+    flat = {f: f"__{out}_{f}" for f in gs.fields}
+    idx_col = f"__{out}_idx"
+    mid_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(c, T.StringType()) for c in flat.values()]
+        + [T.StructField(idx_col, T.IntegerType())]
+    )
+    specs = [(g.regex, g.fields) for g in gs.patterns]
+    union_fields = gs.fields
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # sentinel whole-match group per pattern (see with_grok_vectorized):
+        # extract column 0 doubles as the match test, one pass per pattern
+        pats = [(re.compile(f"({rx})", re.ASCII), flds) for rx, flds in specs]
+        for pdf in batches:
+            pdf = pdf.copy()
+            s = pdf[col]
+            idx = pd.Series(pd.NA, index=s.index, dtype="Int32")
+            vals = {
+                f: pd.Series(pd.NA, index=s.index, dtype=object)
+                for f in union_fields
+            }
+            remaining = s.index
+            for i, (pat, flds) in enumerate(pats):
+                if len(remaining) == 0:
+                    break
+                ext = s.loc[remaining].str.extract(pat)
+                ok = ext.iloc[:, 0].notna()
+                hit = remaining[ok.to_numpy()]
+                if len(hit):
+                    ext = ext.loc[hit].fillna("")
+                    for j, f in enumerate(flds):
+                        vals[f].loc[hit] = ext.iloc[:, j + 1]
+                    idx.loc[hit] = i
+                remaining = remaining[(~ok).to_numpy()]
+            for f in union_fields:
+                pdf[flat[f]] = vals[f]
+            pdf[idx_col] = idx
+            yield pdf
+
+    mid = df.mapInPandas(run, schema=mid_schema)
+    struct = F.when(
+        F.col(idx_col).isNotNull(),
+        F.struct(*[F.col(c).alias(f) for f, c in flat.items()]),
+    )
+    return (
+        mid.withColumn(out, struct)
+        .withColumn(out + PATTERN_IDX_SUFFIX, F.col(idx_col))
+        .drop(*flat.values(), idx_col)
+    )

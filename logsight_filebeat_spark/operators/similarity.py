@@ -7,9 +7,17 @@ Two tiers:
     this is one scan + one bounded shuffle — viable for few queries.
   * ``srp_buckets`` / ``srp_topk`` — sign-random-projection LSH: each vector
     hashes to a bucket from the signs of dot products with deterministic
-    md5-derived hyperplanes; candidates come only from the query's bucket
-    (multi-probe: also buckets at Hamming distance 1). This is the scale
-    path — candidate generation is a bucket equi-join.
+    md5-derived hyperplanes; ``srp_topk`` candidates come from the query's
+    EXACT bucket only. This is the scale path — candidate generation is a
+    bucket equi-join.
+  * ``srp_multiprobe_topk`` — recall upgrade: each query probes its own
+    bucket PLUS every bucket at Hamming distance 1 (one sign flipped), so a
+    near neighbor that fell just across one hyperplane is still found. Cost:
+    the candidate join fans each query out ×(1+num_planes) — still an
+    equi-join, never a cross product.
+  * ``embedding_near_dups_lsh`` — the composed near-dup operator: SRP-bucket
+    candidate pairs → exact cosine verify ≥ threshold, one call. Equals the
+    exact dedup.embedding_near_dups restricted to same-bucket candidates.
 
 All deterministic (hyperplane coefficients derive from md5(plane,dim)) and
 DuckDB-expressible for the oracle.
@@ -115,17 +123,120 @@ def srp_candidate_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Candidate near-neighbor pairs: same SRP bucket (id_a < id_b).
-    The LSH-bucketed scale path for embedding near-dup / ANN."""
-    from pyspark.storagelevel import StorageLevel
+    The LSH-bucketed scale path for embedding near-dup / ANN. Caller
+    releases the tracked cache after its action (functions/caching.py)."""
+    from logsight_filebeat_spark.functions.caching import track_persist
 
-    b = srp_buckets(df, num_planes, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK  # bucket projection feeds both join sides
+    b = track_persist(  # bucket projection feeds both join sides
+        srp_buckets(df, num_planes, id_col, vec_col)
     )
     x, y = b.alias("a"), b.alias("b")
     return (
         x.join(y, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.bucket").alias("bucket"))
+    )
+
+
+def srp_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with Hamming-1 multi-probe: each query's candidate set is
+    the union of its exact bucket and the num_planes buckets reachable by
+    flipping one sign bit — recovering neighbors that sit just across a
+    single hyperplane (the standard multi-probe LSH recall fix).
+
+    Plan shape: the bucket is computed ONCE per row as a projected Column;
+    probes derive from that bucket column by integer XOR (cheap), explode
+    the (small, broadcast) query side ×(1+num_planes), and candidates come
+    from a broadcast equi-join on bucket. A (query, vector) pair can match
+    at most one probe (probe values are distinct), so no dedup join blowup;
+    the window top-k bounds the result."""
+    bucket = srp_bucket_expr(vec_col, num_planes)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+        bucket.alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        bucket.alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2**p).cast("bigint"))
+            for p in range(num_planes)
+        ],
+    )
+    qp = q.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        v.join(
+            F.broadcast(qp),
+            (v["bucket"] == qp["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("nv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Composed near-dup operator — the one-call scale path for embeddings:
+    SRP-bucket candidate pairs (equi-join, never a cross product) → exact
+    cosine verification ≥ threshold. Returns (id_a, id_b, cosine), id_a <
+    id_b. Equals dedup.embedding_near_dups restricted to same-bucket pairs
+    (oracle-pinned); recall follows the SRP collision probability — raise it
+    with fewer planes or a second plane family unioned in.
+
+    The vector rides through the bucket join (one shuffle keyed on bucket)
+    rather than being re-joined by id afterward — one wide shuffle beats two
+    narrow ones at this row width. Caller releases the tracked cache after
+    its action (functions/caching.py)."""
+    from logsight_filebeat_spark.functions.caching import track_persist
+
+    v = track_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            srp_bucket_expr(vec_col, num_planes).alias("bucket"),
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -137,8 +248,9 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: exact cosine ranking restricted to the query's SRP bucket.
-    Fewer planes ⇒ bigger buckets ⇒ better recall, more compute. The bucket
+    """ANN top-k: exact cosine ranking restricted to the query's EXACT SRP
+    bucket (srp_multiprobe_topk adds Hamming-1 probes for recall). Fewer
+    planes ⇒ bigger buckets ⇒ better recall, more compute. The bucket
     is a projected Column (srp_bucket_expr) — no join-back by id."""
     bucket = srp_bucket_expr(vec_col, num_planes)
     v = vectors.select(

@@ -103,6 +103,74 @@ def test_simhash_properties(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_simhash_blocked_equals_exact_all_pairs(spark):
+    # the pigeonhole-blocked production form must return EXACTLY the pairs
+    # of the O(n²) reference form — same ids, same hamming distances
+    rows = [
+        (i, f"token{i % 7} alpha beta gamma {('x ' * (i % 5))}delta epsilon")
+        for i in range(40)
+    ] + [(100 + i, "shared near duplicate payload text here") for i in range(4)]
+    df = _docs(spark, rows)
+    for max_h in (0, 2, 3):
+        blocked = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs(df, max_hamming=max_h).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs_exact(df, max_hamming=max_h).collect()
+        }
+        assert blocked == exact
+
+
+def test_simhash_chunks_cover_fingerprint(spark):
+    df = _docs(spark, [(1, "alpha beta gamma delta")])
+    s = df.select(F.col("doc_id").alias("id"), dedup.simhash("text").alias("sh"))
+    chunks = dedup.simhash_chunks(s, bits=32, max_hamming=3).collect()
+    assert len(chunks) == 4  # max_hamming + 1 disjoint slices
+    sh = chunks[0].sh
+    # reassembling the slices reproduces the fingerprint
+    total = sum(c.chunk_val << (c.chunk_idx * 8) for c in chunks)
+    assert total == sh
+
+
+def test_jaccard_capped_drops_hot_shingles(spark):
+    # docs 1-4 share ONLY the hot shingle "common glue words" (df=4 > cap);
+    # docs 5,6 share rare shingles. With max_doc_freq=3 the hot shingle is
+    # pruned: 1-4 pairs vanish, 5-6 survives with jaccard over rare shingles.
+    hot = "common glue words"
+    rows = [
+        (1, f"{hot} aa bb cc"),
+        (2, f"{hot} dd ee ff"),
+        (3, f"{hot} gg hh ii"),
+        (4, f"{hot} jj kk ll"),
+        (5, "rare one two three four"),
+        (6, "rare one two three nine"),
+    ]
+    df = _docs(spark, rows)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(df, threshold=0.05).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(df, threshold=0.05, max_doc_freq=3).collect()
+    }
+    assert (1, 2) in uncapped
+    assert all(p not in capped for p in [(1, 2), (1, 3), (2, 3), (3, 4)])
+    assert (5, 6) in capped
+
+
+def test_release_persisted_clears_tracked_caches(spark):
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    release_persisted()  # drop anything earlier tests pinned
+    df = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(10)])
+    dedup.simhash_pairs(df).count()  # operator pins its chunk projection
+    assert release_persisted() >= 1
+    assert release_persisted() == 0  # idempotent, registry drained
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

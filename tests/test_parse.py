@@ -147,6 +147,125 @@ def test_multiline_fast_path_equals_general_fold(spark):
     assert fast == fold
 
 
+def test_decapture_keeps_groups_field_positional():
+    """Literal parens in pattern or vocab must not shift the field→group
+    mapping — _decapture rewrites them non-capturing (RE2 dialect: no
+    backreferences, so this is semantics-preserving)."""
+    g = compile_grok(r"(%{WORD:a}) x %{GREEDYDATA:b}")
+    assert re.compile(g.regex).groups == 2  # user paren did not capture
+    m = g.python.search("hello x world etc")
+    assert (m.group(1), m.group(2)) == ("hello", "world etc")
+    # extra vocab with capturing parens is neutralized too
+    g2 = compile_grok("%{PAIR:p}", {"PAIR": r"(\w+)=(\w+)"})
+    assert re.compile(g2.regex).groups == 1
+    assert g2.python.search("k=v").group(1) == "k=v"
+    # parens inside character classes stay literal
+    g3 = compile_grok(r"%{WORD:w} [()]")
+    assert g3.python.search("hi (").group(1) == "hi"
+
+
+def test_grok_optional_group_vectorized_matches_native(spark):
+    """ADVICE r01: a pattern whose field group is optional used to null whole
+    matched rows on the Arrow path (NaN-in-group-1 read as no-match). The
+    sentinel whole-match group must agree with the native path: matched row
+    with a non-participating group ⇒ '' field, unmatched row ⇒ NULL."""
+    g = compile_grok(r"req=(%{WORD:req})? %{GREEDYDATA:rest}")
+    df = spark.createDataFrame(
+        [(1, "req=abc tail text"), (2, "req= tail text"), (3, "no match here")],
+        "i long, t string",
+    )
+    native = {r.i: r.parsed for r in with_grok_native(df, "t", g).collect()}
+    vect = {r.i: r.parsed for r in with_grok_vectorized(df, "t", g).collect()}
+    assert native == vect
+    assert tuple(native[1]) == ("abc", "tail text")
+    assert tuple(native[2]) == ("", "tail text")  # optional group absent ⇒ ''
+    assert native[3] is None
+
+
+def test_compile_grok_set_errors_and_fields():
+    from logsight_filebeat_spark.operators.parse import compile_grok_set
+
+    with pytest.raises(ValueError):
+        compile_grok_set([])
+    with pytest.raises(ValueError):
+        compile_grok_set(["%{WORD:a}", "%{NOPE:x}"])  # bad member raises
+    gs = compile_grok_set(["%{WORD:a} %{WORD:b}", "%{INT:b} %{WORD:c}"])
+    assert gs.fields == ("a", "b", "c")  # union, first-appearance order
+
+
+def test_grok_set_first_match_wins_and_union_schema(spark):
+    from logsight_filebeat_spark.operators.parse import (
+        compile_grok_set,
+        with_grok_set_native,
+    )
+
+    gs = compile_grok_set(
+        [
+            "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}",
+            "%{IP:client} %{WORD:method} %{INT:status}",
+            # pattern 2 would ALSO match pattern 1's lines (WORD matches
+            # 'INFO') — precedence must keep pattern 1's parse
+            "%{NOTSPACE:tok} %{GREEDYDATA:msg}",
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "2024-03-01T10:00:00Z INFO all fine"),
+            (2, "10.1.2.3 GET 200"),
+            (3, "justtwo words here"),
+            (4, ""),
+        ],
+        "i long, t string",
+    )
+    out = with_grok_set_native(df, "t", gs)
+    rows = {r.i: r for r in out.select("i", "parsed", "parsed_pattern").collect()}
+    assert rows[1].parsed_pattern == 0
+    assert rows[1].parsed.ts == "2024-03-01T10:00:00Z"
+    assert rows[1].parsed.level == "INFO"
+    assert rows[1].parsed.client is None  # union field absent for pattern 0
+    assert rows[2].parsed_pattern == 1
+    assert rows[2].parsed.client == "10.1.2.3"
+    assert rows[2].parsed.status == "200"
+    assert rows[3].parsed_pattern == 2
+    assert rows[3].parsed.tok == "justtwo"
+    assert rows[3].parsed.msg == "words here"
+    assert rows[4].parsed is None and rows[4].parsed_pattern is None
+
+
+def test_grok_set_vectorized_equals_native(spark):
+    from logsight_filebeat_spark.operators.parse import (
+        compile_grok_set,
+        with_grok_set_native,
+        with_grok_set_vectorized,
+    )
+
+    gs = compile_grok_set(
+        [
+            "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}",
+            "%{IP:client} %{WORD:method} %{URIPATH:path} %{INT:status}",
+        ]
+    )
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            rows.append((i, f"2024-03-{i % 27 + 1:02d}T10:11:12Z ERROR boom {i}"))
+        elif i % 3 == 1:
+            rows.append((i, f"10.0.{i % 200}.7 GET /api/v{i % 10} 200"))
+        else:
+            rows.append((i, f"~~ noise line {i}"))
+    df = spark.createDataFrame(rows, "i long, t string").repartition(4)
+    native = {
+        r.i: (r.parsed, r.parsed_pattern)
+        for r in with_grok_set_native(df, "t", gs).collect()
+    }
+    vect = {
+        r.i: (r.parsed, r.parsed_pattern)
+        for r in with_grok_set_vectorized(df, "t", gs).collect()
+    }
+    assert native == vect
+    assert sum(1 for _, p in native.values() if p is None) == 40
+
+
 def test_compile_dissect_and_errors():
     from logsight_filebeat_spark.operators.parse import CompiledDissect, compile_dissect
 

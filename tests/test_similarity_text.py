@@ -56,6 +56,65 @@ def test_srp_topk_ranks_within_bucket(spark):
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
 
 
+def test_multiprobe_recall_at_least_exact_bucket(spark):
+    # neighbors that land one sign-flip away from the query's bucket are
+    # invisible to exact-bucket srp_topk but found by Hamming-1 multi-probe;
+    # recall vs brute force can only go up
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17 - 8) / 8 for d in range(6)])
+        for i in range(60)
+    ]
+    vecs = _vecs(spark, rows)
+    qs = vecs.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(vecs, qs, k=5).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.srp_topk(vecs, qs, k=5, num_planes=4).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.srp_multiprobe_topk(vecs, qs, k=5, num_planes=4).collect()
+    }
+    assert len(multi & truth) >= len(exact & truth)
+    # every exact-bucket candidate's pair is still reachable via probe 0,
+    # so per-query result size never shrinks
+    from collections import Counter
+
+    n_exact = Counter(q for q, _ in exact)
+    n_multi = Counter(q for q, _ in multi)
+    assert all(n_multi[q] >= n for q, n in n_exact.items())
+
+
+def test_embedding_near_dups_lsh_is_exact_restricted_to_buckets(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.01]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    from logsight_filebeat_spark.operators import dedup
+
+    vecs = _vecs(spark, rows)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_dups(vecs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.embedding_near_dups_lsh(
+            vecs, threshold=0.9, num_planes=4
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # candidates never invent pairs
+    assert all(lsh[p] == exact[p] for p in lsh)  # verify stage is exact
+    # near-identical vectors share every hyperplane side ⇒ always recalled
+    assert (1, 2) in lsh and (3, 4) in lsh
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
