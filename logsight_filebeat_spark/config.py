@@ -92,7 +92,8 @@ class PipelineConfig:
     default_sink: str = "default"
     quarantine_sink: str = "_quarantine"  # FailedMapping side-channel (O13)
     batch_size: int = DEFAULT_BATCH_SIZE  # → target rows per output file
-    max_retries: int = DEFAULT_MAX_RETRIES  # → spark.task.maxFailures analogue
+    max_retries: int = DEFAULT_MAX_RETRIES  # → spark.task.maxFailures via
+    # session.task_retry_conf (applied at context creation by the runner)
     sink_root: str = ""  # base path/catalog for per-sink tables
 
     def validate(self) -> "PipelineConfig":

@@ -33,7 +33,11 @@ def register(name: str, sql: str | None = None):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # timestamps render in the SESSION timezone; the DuckDB oracle is
             # tz-naive UTC, so pin it here — the driver's own session may not
-            # be UTC-configured (runtime-settable, no session restart needed)
+            # be UTC-configured (runtime-settable, no session restart needed).
+            # Deliberately NOT restored in a finally: the returned DataFrame
+            # is lazy, and date_format/strftime render at EXECUTION time —
+            # restoring the caller's timezone after plan construction would
+            # silently un-pin every timestamp the driver later collects.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 

@@ -20,17 +20,36 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 4096
 
 
+def task_retry_conf(max_retries: int) -> dict[str, str]:
+    """Map the reference's per-batch retry budget onto Spark's task-attempt
+    budget. Reference: max_retries=20 (plugin/config.go:67) consumed by the
+    SuccessNet/WithBackoff wrappers (plugin/logsight.go:60-63) — each failed
+    publish is retried up to the budget with backoff. Spark's analogue is
+    ``spark.task.maxFailures``, which counts ATTEMPTS (so budget + 1);
+    backoff between attempts is the scheduler's, and job-level rerun on top
+    of that is the lineage resume (sinks/lineage.py), which is what upgrades
+    the reference's at-least-once to exactly-once.
+
+    Must be applied at SparkContext creation (it is a core scheduler conf —
+    a running session ignores it): pass via ``get_spark(max_retries=...)``
+    or spark-submit ``--conf``.
+    """
+    return {"spark.task.maxFailures": str(max(0, max_retries) + 1)}
+
+
 def get_spark(
     app_name: str = "logsight-filebeat-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    max_retries: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the pipeline's standard config.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) in
     the sandbox; on a real cluster the caller passes none and spark-submit
-    supplies the master.
+    supplies the master. ``max_retries`` maps the job config's retry budget
+    onto ``spark.task.maxFailures`` (task_retry_conf).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -75,6 +94,9 @@ def get_spark(
             "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
         )
     )
+    if max_retries is not None:
+        for k, v in task_retry_conf(max_retries).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

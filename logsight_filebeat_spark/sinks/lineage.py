@@ -39,6 +39,17 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+RECEIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("receipt_id", T.StringType(), False),
+        T.StructField("sink", T.StringType(), False),
+        T.StructField("logs_count", T.LongType(), True),
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), True),
+    ]
+)
+
+
 def _dir(sink_root: str) -> str:
     return os.path.join(sink_root, "_lineage")
 
@@ -64,6 +75,28 @@ def committed_batches(spark: SparkSession, sink_root: str) -> set[str]:
 
 def is_committed(spark: SparkSession, sink_root: str, batch_id: str) -> bool:
     return batch_id in committed_batches(spark, sink_root)
+
+
+def read_receipts(spark: SparkSession, sink_root: str) -> DataFrame:
+    """Read the receipts table leniently: a missing, unreadable, or corrupt
+    receipts file yields an EMPTY receipts frame, never an error.
+
+    Reference behavior pinned here: the plugin treats HTTP 200 with an
+    unparseable receipt body as a successful delivery with a nil receipt
+    (/root/reference/plugin/api/log_test.go:332-337 — SendLogs returns
+    (nil, nil), the batch is still ACKed). Receipts are advisory delivery
+    accounting; the committed data + lineage rows are the source of truth,
+    so a damaged receipts file must not fail reads or block a resume."""
+    path = os.path.join(sink_root, "receipts")
+    try:
+        # ignoreCorruptFiles drops files with damaged footers at scan time
+        # (the per-file analogue of the nil-receipt lenience); the except
+        # arm covers a missing/unlistable receipts dir
+        return spark.read.schema(RECEIPTS_SCHEMA).option(
+            "ignoreCorruptFiles", "true"
+        ).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], RECEIPTS_SCHEMA)
 
 
 def commit_batch(

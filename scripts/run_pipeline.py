@@ -47,7 +47,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     from logsight_filebeat_spark.sources.pages import host_meta, lang_meta
 
-    spark = SparkSession.builder.getOrCreate()  # master/conf come from spark-submit
+    from logsight_filebeat_spark.session import task_retry_conf
+
+    cfg = standard_pages_config(sink_root=args.sink_root)
+    # master/conf come from spark-submit; the job config's retry budget maps
+    # onto the task-attempt budget here, at context creation (the only point
+    # it can land — see session.task_retry_conf)
+    builder = SparkSession.builder
+    for k, v in task_retry_conf(cfg.max_retries).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     lookups = []
     if not args.no_enrich:
         lookups = [
@@ -60,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             Lookup(table=lang_meta(spark), on="lang", tag_cols={"lang_name": "lang_name"}),
         ]
     plan = compile(
-        standard_pages_config(sink_root=args.sink_root),
+        cfg,
         grok_pattern=args.grok or DEFAULT_GROK,
         lookups=lookups,
     )

@@ -122,3 +122,43 @@ def test_compile_rejects_bad_route():
     cfg = PipelineConfig(routes=(MapperConf(key="url", regex_matcher="^(unclosed"),))
     with pytest.raises(ConfigError):
         compile(cfg)
+
+
+def test_task_retry_conf_maps_budget_to_attempts():
+    """max_retries (ref default 20, plugin/config.go:67) lands on Spark's
+    attempt budget: retries + the first attempt."""
+    from logsight_filebeat_spark.session import task_retry_conf
+
+    assert task_retry_conf(20) == {"spark.task.maxFailures": "21"}
+    assert task_retry_conf(0) == {"spark.task.maxFailures": "1"}
+    assert task_retry_conf(PipelineConfig().max_retries) == {
+        "spark.task.maxFailures": "21"
+    }
+
+
+def test_read_receipts_lenient_on_missing_and_corrupt(plan, spark, tmp_path):
+    """Reference parity (plugin/api/log_test.go:332-337): delivered batch +
+    unreadable receipt = success with nil receipt, never an error. Here: a
+    missing or corrupt receipts file reads as an EMPTY receipts frame."""
+    root = str(tmp_path / "sinks")
+    # missing dir → empty, no raise
+    assert lineage_ops.read_receipts(spark, root).count() == 0
+
+    plan.run_batch(spark, pages(spark, 200, seed=4), "br", sink_root=root)
+    good = lineage_ops.read_receipts(spark, root)
+    n_good = good.count()
+    assert n_good > 0
+    assert {"receipt_id", "sink", "logs_count", "batch_id", "status"} <= set(
+        good.columns
+    )
+
+    # corrupt one receipt file in place → that file is skipped, read succeeds
+    import glob
+
+    victim = glob.glob(f"{root}/receipts/*.parquet")[0]
+    with open(victim, "wb") as f:
+        f.write(b"not a parquet file at all")
+    lenient = lineage_ops.read_receipts(spark, root)
+    assert lenient.count() < n_good  # damaged file dropped, not fatal
+    # and the batch itself is still committed — receipts are advisory
+    assert lineage_ops.is_committed(spark, root, "br")
