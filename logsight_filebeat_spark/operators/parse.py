@@ -14,11 +14,13 @@ owns them natively:
 * Grok — a pattern like ``%{NOTSPACE:timestamp} %{WORD:level}
   %{GREEDYDATA:message}`` compiles ONCE on the driver into (a) a Java regex
   for the native Column path (regexp_extract per field, whole-stage codegen)
-  and (b) a Python regex for the Arrow-vectorized ``mapInPandas`` path (one
-  precompiled match per row over Arrow batches — the north rule's vectorized
-  grok stage for patterns too heavy for codegen or needing byte-exact Python
-  `re` semantics). Both paths are tested byte-identical against a
-  single-threaded Python oracle (input_hint invariant).
+  and (b) the Arrow-vectorized ``mapInPandas`` path: pyarrow's
+  ``extract_regex`` — a true RE2 engine in C over the Arrow buffers, zero
+  per-row Python — which is the north rule's "batched re2-style matchers"
+  literally (RE2 is also the reference's Go regexp dialect). Patterns RE2
+  can't compile (probed at compile time) fall back to precompiled Python
+  ``re`` over the same batches. All paths are tested byte-identical against
+  a single-threaded Python oracle (input_hint invariant).
 
 Grok base patterns are the public grok vocabulary (non-capturing internals so
 field ⇒ capture-group index is positional).
@@ -106,6 +108,65 @@ def _decapture(fragment: str) -> str:
     return "".join(out)
 
 
+def _named_regex(regex: str) -> str:
+    """Rewrite the i-th capturing ``(`` to a named group ``(?P<gi>`` —
+    pyarrow's RE2 extract_regex surfaces captures by NAME only. _decapture
+    guarantees capturing parens == field groups in positional order, so
+    ``gi`` ↔ ``fields[i]``. (Positional synthetic names, not the field
+    names themselves: field names may legally repeat across a grok set's
+    union handling, and RE2 rejects duplicate group names.)"""
+    out: list[str] = []
+    i, n, g = 0, len(regex), 0
+    in_class = False
+    while i < n:
+        ch = regex[i]
+        if ch == "\\":
+            out.append(regex[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            if i < n and regex[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and regex[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        if ch == "(" and not (i + 1 < n and regex[i + 1] == "?"):
+            out.append(f"(?P<g{g}>")
+            g += 1
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _arrow_re2_ok(named_regex: str) -> bool:
+    """True iff pyarrow is importable AND RE2 compiles the pattern (probed
+    on an empty array — compilation errors surface eagerly). Decided once on
+    the driver; workers then take the C path unconditionally. Patterns using
+    constructs RE2 lacks (lookaround, backrefs) probe False and fall back to
+    the Python-`re` pandas path — same results, slower engine."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pc.extract_regex(pa.array([], type=pa.string()), pattern=named_regex)
+        return True
+    except Exception:
+        return False
+
+
 @dataclass(frozen=True)
 class CompiledGrok:
     """Driver-side compiled grok pattern (compile once, run everywhere —
@@ -116,6 +177,8 @@ class CompiledGrok:
     source: str
     regex: str  # RE2∩Java∩Python-safe
     fields: tuple[str, ...]  # capture-group order, group i+1 = fields[i]
+    named_regex: str = ""  # capturing groups renamed (?P<gi>…) for RE2
+    arrow_re2: bool = False  # vectorized path may use pyarrow RE2 (C)
 
     @property
     def python(self) -> re.Pattern:
@@ -158,7 +221,14 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
             f"grok pattern {pattern!r} compiled to {compiled.groups} capture "
             f"groups for {len(fields)} fields — unsupported regex construct"
         )
-    return CompiledGrok(source=pattern, regex=regex, fields=tuple(fields))
+    named = _named_regex(regex)
+    return CompiledGrok(
+        source=pattern,
+        regex=regex,
+        fields=tuple(fields),
+        named_regex=named,
+        arrow_re2=_arrow_re2_ok(named),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -427,15 +497,19 @@ def with_grok_vectorized(
     (SURVEY §4.2). Fields come back as a struct column, NULL on no-match —
     byte-identical to grok_native and to the single-threaded oracle.
 
-    Hot-path shape: ONE ``str.extract`` pass per batch. The pattern is
-    wrapped in a sentinel whole-match group — group 0 of the extract output
-    participates in EVERY match, so NaN there ⇔ no match even when a field
-    group is optional (ADVICE r01: the old NaN-in-group-1 signal nulled
-    whole matched rows for optional fields). Non-participating groups of
-    matched rows fill '' — exactly the native path's regexp_extract
-    semantics, so byte-identity holds for every pattern shape. Captures
-    cross Arrow as flat string columns; the struct is assembled JVM-side.
-    Per-row Python objects (dict-per-row) would dominate the stage cost."""
+    Hot-path shape: ONE extraction pass per batch, preferring pyarrow's
+    ``extract_regex`` — a true RE2 engine running in C over the Arrow
+    buffers (zero per-row Python, and RE2 IS the reference's dialect). The
+    result struct's validity bitmap is the match test; non-participating
+    optional groups of matched rows come back '' from RE2 — exactly the
+    native path's regexp_extract semantics, so byte-identity holds for
+    every pattern shape. Patterns RE2 can't compile (probed at compile
+    time) fall back to pandas ``str.extract`` with a sentinel whole-match
+    group: group 0 participates in every match, so NaN there ⇔ no match
+    even when a field group is optional (ADVICE r01: the old NaN-in-group-1
+    signal nulled whole matched rows for optional fields), and '' fill
+    restores non-participating-group parity. Captures cross Arrow as flat
+    string columns; the struct is assembled JVM-side."""
     flat = [f"__{out}_{f}" for f in grok.fields]
     ok_col = f"__{out}_ok"
     mid_schema = T.StructType(
@@ -444,9 +518,30 @@ def with_grok_vectorized(
         + [T.StructField(ok_col, T.BooleanType())]
     )
     regex = grok.regex
+    named = grok.named_regex
+    use_arrow = grok.arrow_re2
 
     def run(batches: Iterator) -> Iterator:
-        # compile once per worker task; re.ASCII = RE2/Java class semantics
+        if use_arrow:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                st = pc.extract_regex(
+                    pa.Array.from_pandas(pdf[col]), pattern=named
+                )
+                ok = pc.is_valid(st).to_pandas()
+                ok.index = pdf.index
+                for i, c in enumerate(flat):
+                    vals = st.field(f"g{i}").to_pandas()
+                    vals.index = pdf.index
+                    pdf[c] = vals
+                pdf[ok_col] = ok
+                yield pdf
+            return
+
+        # fallback: Python re engine; re.ASCII = RE2/Java class semantics
         # (see CompiledGrok.python) so captures stay byte-identical to the
         # native Column path on non-ASCII input. Sentinel group shifts the
         # field groups to 2..n+1 in this pattern only.
@@ -488,15 +583,27 @@ def with_grok_set_vectorized(
         + [T.StructField(c, T.StringType()) for c in flat.values()]
         + [T.StructField(idx_col, T.IntegerType())]
     )
-    specs = [(g.regex, g.fields) for g in gs.patterns]
+    # per-pattern engine choice, decided on the driver: RE2-in-C when the
+    # pattern compiles under RE2, Python re otherwise (mixed sets work)
+    specs = [
+        (g.regex, g.named_regex if g.arrow_re2 else None, g.fields)
+        for g in gs.patterns
+    ]
     union_fields = gs.fields
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # sentinel whole-match group per pattern (see with_grok_vectorized):
-        # extract column 0 doubles as the match test, one pass per pattern
-        pats = [(re.compile(f"({rx})", re.ASCII), flds) for rx, flds in specs]
+        if any(named for _, named, _ in specs):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+        # sentinel whole-match group on the fallback engine (see
+        # with_grok_vectorized): extract column 0 doubles as the match test
+        pats = [
+            (named, re.compile(f"({rx})", re.ASCII) if named is None else None, flds)
+            for rx, named, flds in specs
+        ]
         for pdf in batches:
             pdf = pdf.copy()
             s = pdf[col]
@@ -506,17 +613,32 @@ def with_grok_set_vectorized(
                 for f in union_fields
             }
             remaining = s.index
-            for i, (pat, flds) in enumerate(pats):
+            for i, (named, pat, flds) in enumerate(pats):
                 if len(remaining) == 0:
                     break
-                ext = s.loc[remaining].str.extract(pat)
-                ok = ext.iloc[:, 0].notna()
-                hit = remaining[ok.to_numpy()]
-                if len(hit):
-                    ext = ext.loc[hit].fillna("")
-                    for j, f in enumerate(flds):
-                        vals[f].loc[hit] = ext.iloc[:, j + 1]
-                    idx.loc[hit] = i
+                sub = s.loc[remaining]
+                if named is not None:  # RE2 C path
+                    st = pc.extract_regex(
+                        pa.Array.from_pandas(sub), pattern=named
+                    )
+                    ok = pc.is_valid(st).to_pandas()
+                    ok.index = sub.index
+                    hit = remaining[ok.to_numpy()]
+                    if len(hit):
+                        for j, f in enumerate(flds):
+                            v = st.field(f"g{j}").to_pandas()
+                            v.index = sub.index
+                            vals[f].loc[hit] = v.loc[hit]
+                        idx.loc[hit] = i
+                else:  # Python re fallback
+                    ext = sub.str.extract(pat)
+                    ok = ext.iloc[:, 0].notna()
+                    hit = remaining[ok.to_numpy()]
+                    if len(hit):
+                        ext = ext.loc[hit].fillna("")
+                        for j, f in enumerate(flds):
+                            vals[f].loc[hit] = ext.iloc[:, j + 1]
+                        idx.loc[hit] = i
                 remaining = remaining[(~ok).to_numpy()]
             for f in union_fields:
                 pdf[flat[f]] = vals[f]

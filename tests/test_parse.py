@@ -182,6 +182,31 @@ def test_grok_optional_group_vectorized_matches_native(spark):
     assert native[3] is None
 
 
+def test_grok_re2_engine_selection_and_fallback_parity(spark):
+    """The vectorized path runs pyarrow RE2 (C) when the pattern is
+    RE2-compilable; patterns needing lookaround fall back to Python `re`.
+    Both engines must agree with the native Column path... except that
+    lookaround isn't Java-regex-expressible either, so parity for the
+    fallback is pinned against the Python oracle directly."""
+    g = compile_grok(PAT)
+    assert g.arrow_re2  # the default pipeline pattern takes the C path
+    assert "(?P<g0>" in g.named_regex
+
+    # lookahead: RE2 rejects ⇒ probed False ⇒ Python fallback engages
+    g2 = compile_grok("%{NEXTNUM:w} %{GREEDYDATA:rest}",
+                      {"NEXTNUM": r"\w+(?=\d)"})
+    assert not g2.arrow_re2
+    df = spark.createDataFrame(
+        [(1, "abc1 tail"), (2, "abc tail"), (3, "x9 y")], "i long, t string"
+    )
+    got = {r.i: r.parsed for r in with_grok_vectorized(df, "t", g2).collect()}
+    oracle = g2.python
+    for i, t in ((1, "abc1 tail"), (2, "abc tail"), (3, "x9 y")):
+        m = oracle.search(t)
+        exp = None if m is None else tuple(x or "" for x in m.groups())
+        assert (None if got[i] is None else tuple(got[i])) == exp
+
+
 def test_compile_grok_set_errors_and_fields():
     from logsight_filebeat_spark.operators.parse import compile_grok_set
 
