@@ -28,7 +28,23 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan a table, guaranteeing enough partitions to use the cluster.
+
+    Spark splits parquet by BYTE ranges, but a split only owns the row
+    groups whose midpoint lands in it — a small single-row-group file is
+    exactly ONE task no matter how many executors exist, which serializes
+    every expression-heavy operator downstream (md5-per-token signatures,
+    shingling, fingerprints) onto one core. When the scan's parallelism is
+    below the session default, round-robin repartition up to it: the shuffle
+    moves only this small file's bytes once, and the condition is false on
+    real multi-row-group/multi-file tables at scale, where this is a no-op.
+    Operator results are partitioning-independent (test-pinned), so this
+    never changes values."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        df = df.repartition(target)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
