@@ -215,6 +215,7 @@ CORPUS_QUERIES = (
     "dd_minhash_lsh",
     "dd_simhash",
     "dd_embed_lsh",
+    "dd_curation",
     "tx_stats",
     "tx_fingerprint",
     "ann_brute_topk",

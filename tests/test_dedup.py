@@ -171,6 +171,45 @@ def test_release_persisted_clears_tracked_caches(spark):
     assert release_persisted() == 0  # idempotent, registry drained
 
 
+def test_curate_corpus_chain(spark):
+    """Composed curation pipeline: exact dups collapse, LSH near-dups drop
+    the higher id, junk and language-less docs are gated out."""
+    from logsight_filebeat_spark.operators.curation import (
+        curate_corpus,
+        curation_report,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog in the misty morning light"
+    )
+    near = good + " tonight"  # near-dup of `good` (one appended token)
+    rows = [
+        (1, good),
+        (2, good),            # exact dup of 1 → dropped at step 1
+        (3, near),            # near-dup of 1 → dropped by LSH (higher id)
+        (4, "!!! ??? ### ..."),  # junk → quality gate
+        (5, "qzx wvu jkl mno pqr stu vwx yzq abc def ghi jkl mno pqr stu"),
+        # ↑ wordlike but no language markers → lang gate ('und')
+        (6, "der Hund und die Katze spielen gerne zusammen in dem grossen Garten draussen heute"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # bands=4 (2 rows/band): higher collision probability per band — the
+    # recall-leaning config appropriate for a high-similarity pair
+    kept = curate_corpus(df, min_quality=0.5, num_hashes=8, bands=4)
+    got = {r.doc_id: r for r in kept.collect()}
+    assert set(got) == {1, 6}
+    assert got[1].lang_pred == "en" and got[6].lang_pred == "de"
+    assert all(r.quality >= 0.5 for r in got.values())
+
+    rep = {r.lang_pred: r for r in curation_report(kept).collect()}
+    assert rep["en"].n_docs == 1 and rep["de"].n_docs == 1
+    assert 0 < rep["en"].avg_quality <= 1.0
+
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    release_persisted()
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
