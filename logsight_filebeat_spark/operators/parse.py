@@ -281,17 +281,29 @@ def compile_grok_set(
 class CompiledDissect:
     """Beats-style dissect pattern: ``%{a} %{b} - %{rest}`` splits on the
     exact literal delimiters between fields; the final field takes the
-    remainder. No regex at runtime — whole-stage-codegen string finds."""
+    remainder. No regex at runtime — whole-stage-codegen string finds.
+
+    Beats field modifiers supported:
+      * ``%{?name}`` / ``%{}`` — skip: the token is consumed (its delimiter
+        still anchors the split) but emits no output field.
+      * ``%{+name}`` — append: the token's value concatenates onto the
+        earlier ``name`` capture, joined by ``append_separator``.
+
+    ``tokens`` holds one (kind, name) per positional token, kind ∈
+    {field, skip, append}; ``fields`` is the OUTPUT schema (plain + append
+    bases, first-appearance order)."""
 
     source: str
     fields: tuple[str, ...]
-    delimiters: tuple[str, ...]  # len == len(fields) - 1; literal separators
+    delimiters: tuple[str, ...]  # len == len(tokens) - 1; literal separators
+    tokens: tuple[tuple[str, str], ...] = ()
+    append_separator: str = ""
 
 
-_DISSECT_REF = re.compile(r"%\{(\w+)\}")
+_DISSECT_REF = re.compile(r"%\{([?+]?\w*)\}")
 
 
-def compile_dissect(pattern: str) -> CompiledDissect:
+def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect:
     """Compile on the driver; errors eagerly like compile_grok. The pattern
     must start with a field and alternate field/delimiter (a leading literal
     prefix is folded into the first delimiter check by stripping it)."""
@@ -306,16 +318,45 @@ def compile_dissect(pattern: str) -> CompiledDissect:
             f"dissect pattern {pattern!r} must end with a %{{field}} "
             "(the last field takes the remainder)"
         )
-    fields = tuple(parts[1::2])
+    raw = tuple(parts[1::2])
     delimiters = tuple(parts[2:-1:2])
     if any(d == "" for d in delimiters):
         raise ValueError(
             f"dissect pattern {pattern!r} has adjacent fields with no "
             "literal delimiter between them"
         )
-    if len(set(fields)) != len(fields):
-        raise ValueError(f"dissect pattern {pattern!r} repeats a field name")
-    return CompiledDissect(source=pattern, fields=fields, delimiters=delimiters)
+    tokens: list[tuple[str, str]] = []
+    fields: list[str] = []
+    for tok in raw:
+        if tok == "" or tok.startswith("?"):
+            tokens.append(("skip", tok[1:] if tok else ""))
+        elif tok.startswith("+"):
+            name = tok[1:]
+            if not name:
+                raise ValueError(f"dissect pattern {pattern!r}: bare %{{+}}")
+            if name not in fields:
+                raise ValueError(
+                    f"dissect pattern {pattern!r}: %{{+{name}}} appends to a "
+                    "field that has not appeared yet"
+                )
+            tokens.append(("append", name))
+        else:
+            if tok in fields:
+                raise ValueError(
+                    f"dissect pattern {pattern!r} repeats field {tok!r} "
+                    "(use %{+" + tok + "} to append)"
+                )
+            tokens.append(("field", tok))
+            fields.append(tok)
+    if not fields:
+        raise ValueError(f"dissect pattern {pattern!r} captures no fields")
+    return CompiledDissect(
+        source=pattern,
+        fields=tuple(fields),
+        delimiters=delimiters,
+        tokens=tuple(tokens),
+        append_separator=append_separator,
+    )
 
 
 def dissect_native(col: Column | str, dissect: CompiledDissect) -> Column:
@@ -335,9 +376,17 @@ def dissect_native(col: Column | str, dissect: CompiledDissect) -> Column:
             remaining, pos + len(delim), F.length(remaining)
         )
     values.append(remaining)
-    struct = F.struct(
-        *[v.alias(name) for v, name in zip(values, dissect.fields)]
-    )
+    outputs: dict[str, Column] = {}
+    for (kind, name), v in zip(dissect.tokens, values):
+        if kind == "skip":
+            continue
+        if kind == "append":
+            outputs[name] = F.concat(
+                outputs[name], F.lit(dissect.append_separator), v
+            )
+        else:
+            outputs[name] = v
+    struct = F.struct(*[outputs[n].alias(n) for n in dissect.fields])
     return F.when(ok, struct)
 
 
@@ -363,21 +412,78 @@ _DEFAULT_BOUNDARY_RE = r"\n(?![ \t\x0B\f\r])"
 
 
 def multiline_join(
-    text: Column | str, continuation: str = DEFAULT_CONTINUATION
+    text: Column | str,
+    continuation: str = DEFAULT_CONTINUATION,
+    negate: bool = False,
+    match: str = "after",
 ) -> Column:
-    """Fold a page's lines into logical events: a line matching
-    ``continuation`` appends (with \\n) to the previous event. Returns
-    array<string>. Pure Column expressions — no shuffle, no UDF.
+    """Fold a page's lines into logical events — the Beats multiline
+    processor's full config surface (pattern/negate/match, the framework
+    capability the reference configures; /root/reference/go.mod:139):
 
-    Fast path: for the default ``^\\s`` continuation the fold is equivalent
-    to one regex split on event boundaries (proof in _DEFAULT_BOUNDARY_RE
-    comment; pinned by tests against the general fold). Other continuation
-    patterns use the general higher-order-function fold."""
+      * ``match="after"`` (default): a line whose continuation test passes
+        appends (with \\n) to the PREVIOUS event. negate=False ⇒ test is
+        ``rlike(continuation)`` (stack-trace shape); negate=True ⇒ test is
+        NOT-matching (classic "event starts with a timestamp" configs:
+        pattern matches event STARTS, everything else is continuation).
+      * ``match="before"``: a line whose test passes glues onto the NEXT
+        line(s); the first line failing the test TERMINATES the event
+        (classic trailing-backslash line continuation). A trailing run with
+        no terminator still emits as a final event.
+
+    Returns array<string>. Pure Column expressions — no shuffle, no UDF.
+
+    Fast path: for the default after-mode ``^\\s`` continuation the fold is
+    equivalent to one regex split on event boundaries (proof in
+    _DEFAULT_BOUNDARY_RE comment; pinned by tests against the general
+    fold). Every other config uses the general higher-order-function fold."""
+    if match not in ("after", "before"):
+        raise ValueError(f"multiline match mode {match!r}: 'after' or 'before'")
     col = F.col(text) if isinstance(text, str) else text
-    if continuation == DEFAULT_CONTINUATION:
+    if continuation == DEFAULT_CONTINUATION and not negate and match == "after":
         return F.split(col, _DEFAULT_BOUNDARY_RE)
+
+    def cont(x: Column) -> Column:
+        m = x.rlike(continuation)
+        return ~m if negate else m
+
     lines = F.split(col, "\n")
-    acc_type = "struct<events:array<string>,cur:string>"
+    if match == "before":
+        # append every line to the open event; a line FAILING the test
+        # closes it. acc.cur == NULL ⇔ no open event.
+        folded = F.aggregate(
+            lines,
+            F.struct(
+                F.array().cast("array<string>").alias("events"),
+                F.lit(None).cast("string").alias("cur"),
+            ),
+            lambda acc, x: F.when(
+                cont(x),
+                F.struct(
+                    acc.getField("events").alias("events"),
+                    F.when(acc.getField("cur").isNull(), x)
+                    .otherwise(F.concat(acc.getField("cur"), F.lit("\n"), x))
+                    .alias("cur"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.array_append(
+                        acc.getField("events"),
+                        F.when(acc.getField("cur").isNull(), x).otherwise(
+                            F.concat(acc.getField("cur"), F.lit("\n"), x)
+                        ),
+                    ).alias("events"),
+                    F.lit(None).cast("string").alias("cur"),
+                )
+            ),
+            lambda acc: F.when(
+                acc.getField("cur").isNull(), acc.getField("events")
+            ).otherwise(
+                F.array_append(acc.getField("events"), acc.getField("cur"))
+            ),
+        )
+        return folded.cast("array<string>")
+    # after-mode general fold (non-default pattern and/or negate)
     folded = F.aggregate(
         lines,
         F.struct(
@@ -385,7 +491,7 @@ def multiline_join(
             F.lit(None).cast("string").alias("cur"),
         ),
         lambda acc, x: F.when(
-            x.rlike(continuation) & acc.getField("cur").isNotNull(),
+            cont(x) & acc.getField("cur").isNotNull(),
             F.struct(
                 acc.getField("events").alias("events"),
                 F.concat(acc.getField("cur"), F.lit("\n"), x).alias("cur"),
@@ -410,10 +516,11 @@ def multiline_join(
 def explode_multiline(
     df: DataFrame, text_col: str = "text", out_col: str = "event_text",
     continuation: str = DEFAULT_CONTINUATION,
+    negate: bool = False, match: str = "after",
 ) -> DataFrame:
     """pages → one row per logical event, event index preserved (the
     harvester emitting events per file, filebeat/main.go:27-30)."""
-    events = multiline_join(text_col, continuation)
+    events = multiline_join(text_col, continuation, negate, match)
     return df.select(
         "*", F.posexplode(events).alias("event_idx", out_col)
     )

@@ -123,6 +123,67 @@ def test_pages_schema_and_failure_shapes(spark):
     assert r.text in r.h
 
 
+def _ref_multiline(text, pattern, negate, match):
+    """Single-threaded reference of the Beats multiline semantics."""
+    pat = re.compile(pattern)
+
+    def cont(line):
+        m = bool(pat.search(line))
+        return (not m) if negate else m
+
+    events, cur = [], None
+    for x in text.split("\n"):
+        if match == "after":
+            if cont(x) and cur is not None:
+                cur += "\n" + x
+            else:
+                if cur is not None:
+                    events.append(cur)
+                cur = x
+        else:  # before: line joins the open event; failing test closes it
+            cur = x if cur is None else cur + "\n" + x
+            if not cont(x):
+                events.append(cur)
+                cur = None
+    if cur is not None:
+        events.append(cur)
+    return events
+
+
+def test_multiline_negate_and_before_modes(spark):
+    texts = [
+        "2024-01-01 start\ncont line\nanother\n2024-01-02 next\ntail",
+        "no date at all\nstill none",
+        "2024-01-01 only",
+        "cmd one \\\narg two \\\narg three\nplain\ndangling \\",
+        "",
+        "\\\n\\",
+    ]
+    configs = [
+        (r"^\d{4}-", True, "after"),   # event starts at date lines
+        (r"^\d{4}-", False, "after"),  # date lines append (degenerate but legal)
+        (r"\\$", False, "before"),     # trailing backslash continues
+        (r"\\$", True, "before"),      # inverted terminator
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    for pattern, negate, match in configs:
+        got = {
+            r.i: r.e
+            for r in df.select(
+                "i", multiline_join("text", pattern, negate, match).alias("e")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _ref_multiline(t, pattern, negate, match), (
+                pattern, negate, match, t,
+            )
+
+
+def test_multiline_bad_match_mode_raises():
+    with pytest.raises(ValueError):
+        multiline_join("text", match="sideways")
+
+
 def test_multiline_fast_path_equals_general_fold(spark):
     """The default-continuation boundary-split fast path must produce exactly
     the general fold's events — including empty lines, trailing newlines, and
@@ -298,6 +359,27 @@ def test_compile_dissect_and_errors():
     assert d.fields == ("ts", "level", "msg")
     assert d.delimiters == (" ", " - ")
     for bad in ("no fields", "lit %{a}", "%{a} trailing", "%{a}%{b}", "%{a} %{a}"):
+        with pytest.raises(ValueError):
+            compile_dissect(bad)
+
+
+def test_dissect_modifiers_skip_and_append(spark):
+    from logsight_filebeat_spark.operators.parse import compile_dissect, with_dissect
+
+    d = compile_dissect("%{date} %{+date} %{?junk} %{} %{rest}", append_separator=" ")
+    assert d.fields == ("date", "rest")
+    assert [k for k, _ in d.tokens] == ["field", "append", "skip", "skip", "field"]
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00 pid=7 INFO all good"), (2, "too few")],
+        "i long, t string",
+    )
+    rows = {r.i: r.parsed for r in with_dissect(df, "t", d).collect()}
+    assert rows[1].date == "2024-01-01 10:00:00"  # appended with separator
+    assert rows[1].rest == "all good"
+    assert not hasattr(rows[1], "junk")
+    assert rows[2] is None  # missing delimiters ⇒ row failure
+
+    for bad in ("%{+x} %{y}", "%{+} %{y}", "%{x} %{x}"):
         with pytest.raises(ValueError):
             compile_dissect(bad)
 
