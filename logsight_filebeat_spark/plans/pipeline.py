@@ -33,7 +33,12 @@ from logsight_filebeat_spark.operators import parse as parse_ops
 from logsight_filebeat_spark.operators.aggregate import receipts, sink_hour_aggregates
 from logsight_filebeat_spark.operators.enrich import enrich_with_lookup, url_host
 from logsight_filebeat_spark.operators.log_mapper import ERROR_COL, to_log
-from logsight_filebeat_spark.operators.parse import CompiledGrok, compile_grok
+from logsight_filebeat_spark.operators.parse import (
+    CompiledGrok,
+    CompiledGrokSet,
+    compile_grok,
+    compile_grok_set,
+)
 from logsight_filebeat_spark.operators.router import SINK_COL, route
 from logsight_filebeat_spark.sinks import lineage as lineage_ops
 from logsight_filebeat_spark.sinks.writers import write_routed
@@ -54,7 +59,9 @@ class Lookup:
 @dataclass
 class PipelinePlan:
     cfg: PipelineConfig
-    grok: CompiledGrok
+    # a single pattern or a first-match-wins fallback chain (heterogeneous
+    # corpora: one pattern per line format, Beats' multi-pattern config)
+    grok: CompiledGrok | CompiledGrokSet
     multiline: bool = True
     vectorized: bool = False  # grok via mapInPandas instead of native Columns
     lookups: list[Lookup] = field(default_factory=list)
@@ -68,6 +75,12 @@ class PipelinePlan:
             src = "event_text"
         else:
             src = "text"
+        if isinstance(self.grok, CompiledGrokSet):
+            if self.vectorized:
+                return parse_ops.with_grok_set_vectorized(
+                    df, src, self.grok, "parsed"
+                )
+            return parse_ops.with_grok_set_native(df, src, self.grok, "parsed")
         if self.vectorized:
             df = parse_ops.with_grok_vectorized(df, src, self.grok, "parsed")
         else:
@@ -141,7 +154,7 @@ class PipelinePlan:
 
 def compile(
     cfg: PipelineConfig,
-    grok_pattern: str = DEFAULT_GROK,
+    grok_pattern: str | list[str] | tuple[str, ...] = DEFAULT_GROK,
     multiline: bool = True,
     vectorized: bool = False,
     lookups: list[Lookup] | None = None,
@@ -149,11 +162,21 @@ def compile(
 ) -> PipelinePlan:
     """Driver-side compile; raises ConfigError/ValueError on any bad rule or
     pattern — errors surface exactly where the reference errors
-    (plugin/logsight.go:28-47, plugin/config.go:42-53)."""
+    (plugin/logsight.go:28-47, plugin/config.go:42-53).
+
+    ``grok_pattern`` may be a LIST of patterns, tried first-match-wins per
+    event (real corpora are heterogeneous; a single pattern quarantines
+    every other line format). The mapper keys (cfg.message_key etc.) address
+    the union field schema — a field the winning pattern lacks is NULL,
+    which the validation stage turns into a per-row failure as usual."""
     cfg.validate()
+    if isinstance(grok_pattern, (list, tuple)):
+        grok: CompiledGrok | CompiledGrokSet = compile_grok_set(list(grok_pattern))
+    else:
+        grok = compile_grok(grok_pattern)
     return PipelinePlan(
         cfg=cfg,
-        grok=compile_grok(grok_pattern),
+        grok=grok,
         multiline=multiline,
         vectorized=vectorized,
         lookups=list(lookups or []),

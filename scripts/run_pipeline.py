@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# plain `python scripts/run_pipeline.py` runs (dev loop): resolve the package
+# from the repo root. Under spark-submit, --py-files supplies it instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -29,7 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="pages parquet path (or log dir with --logs)")
     p.add_argument("--sink-root", required=True)
     p.add_argument("--batch-id", default="batch-0")
-    p.add_argument("--grok", default=None, help="grok pattern override")
+    p.add_argument(
+        "--grok", action="append", default=None,
+        help="grok pattern override; repeat for a first-match-wins chain",
+    )
     p.add_argument("--logs", action="store_true", help="input is a directory of .log files")
     p.add_argument("--stream", action="store_true", help="drain via Structured Streaming")
     p.add_argument("--no-enrich", action="store_true")
@@ -68,11 +76,10 @@ def main(argv: list[str] | None = None) -> int:
             ),
             Lookup(table=lang_meta(spark), on="lang", tag_cols={"lang_name": "lang_name"}),
         ]
-    plan = compile(
-        cfg,
-        grok_pattern=args.grok or DEFAULT_GROK,
-        lookups=lookups,
+    grok = args.grok if args.grok and len(args.grok) > 1 else (
+        args.grok[0] if args.grok else DEFAULT_GROK
     )
+    plan = compile(cfg, grok_pattern=grok, lookups=lookups)
 
     if args.stream:
         from logsight_filebeat_spark.streaming.micro_batch import run_stream

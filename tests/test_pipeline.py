@@ -124,6 +124,49 @@ def test_compile_rejects_bad_route():
         compile(cfg)
 
 
+def test_pipeline_with_grok_pattern_list(spark):
+    """A pipeline compiled with a fallback chain parses BOTH line formats;
+    only true noise quarantines. A single-pattern pipeline over the same
+    corpus quarantines every second-format line — the failure mode pattern
+    lists exist to fix."""
+    cfg = PipelineConfig(
+        message_key="parsed.message",
+        timestamp_key="parsed.timestamp",
+        level_key="parsed.level",
+        routes=(MapperConf(name="app"),),
+    )
+    plan = compile(
+        cfg,
+        grok_pattern=[
+            "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:message}",
+            # bracketed level variant: [INFO] 2024-...
+            r"\[%{LOGLEVEL:level}\] %{TIMESTAMP_ISO8601:timestamp} %{GREEDYDATA:message}",
+        ],
+        multiline=False,
+        event_ts_col="ts",
+    )
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1)
+    rows = [
+        (ts, "2024-03-01T10:00:00Z INFO plain format"),
+        (ts, "[WARN] 2024-03-01T11:00:00Z bracket format"),
+        (ts, "garbage line with no format"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    routed = plan.mapped(df)
+    got = {r.message: (r.sink, r.level) for r in routed.collect() if r.message}
+    assert got["plain format"] == ("app", "INFO")
+    assert got["bracket format"] == ("app", "WARN")
+    quarantined = routed.filter(F.col("sink") == "_quarantine").count()
+    assert quarantined == 1  # only the noise line
+
+    single = compile(cfg, multiline=False, event_ts_col="ts")
+    assert (
+        single.mapped(df).filter(F.col("sink") == "_quarantine").count() == 2
+    )  # bracket format quarantines without the chain
+
+
 def test_task_retry_conf_maps_budget_to_attempts():
     """max_retries (ref default 20, plugin/config.go:67) lands on Spark's
     attempt budget: retries + the first attempt."""
