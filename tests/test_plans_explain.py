@@ -84,6 +84,50 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert "lang" in pushed and "[]" not in pushed.split("PushedFilters")[1][:40]
 
 
+def test_blocked_pair_generators_have_no_cartesian_product(spark):
+    """The round-1 quadratic forms are gone from the production paths: the
+    SimHash pigeonhole join, the LSH near-dup composition, and the capped
+    Jaccard join must all plan as equi-joins — a CartesianProduct or
+    BroadcastNestedLoopJoin here is the 100TB-scale regression."""
+    from logsight_filebeat_spark.operators.dedup import jaccard_pairs, simhash_pairs
+    from logsight_filebeat_spark.operators.similarity import embedding_near_dups_lsh
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    for df in (
+        simhash_pairs(docs),
+        jaccard_pairs(docs, max_doc_freq=10),
+        embedding_near_dups_lsh(vecs),
+    ):
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    release_persisted()
+
+
+def test_grok_set_native_path_has_no_python_eval(spark):
+    from logsight_filebeat_spark.operators.parse import (
+        compile_grok_set,
+        with_grok_set_native,
+    )
+
+    gs = compile_grok_set(
+        ["%{TIMESTAMP_ISO8601:ts} %{GREEDYDATA:m}", "%{IP:ip} %{GREEDYDATA:m}"]
+    )
+    df = spark.createDataFrame([("x",)], ["t"])
+    plan = _formatted(with_grok_set_native(df, "t", gs))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_exact_dedup_is_two_hash_shuffles_not_a_sort(spark):
     from logsight_filebeat_spark.operators.dedup import dedup_exact
 
