@@ -62,7 +62,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 CHILD_MEM = os.environ.get("SPARK_GRAFT_CHILD_MEM", "12g")
 
 # pages per unit scale factor: sf0.1 → 200k pages (~300k logical events)
@@ -119,17 +119,17 @@ def _materialize_pages(spark, n_pages: int, path: str) -> dict:
     pg.write.mode("overwrite").parquet(path)
     pg = spark.read.parquet(path)
     lines = F.split("text", "\n")
+    # html byte total is NOT computed here — the html media pass's warm-up
+    # job doubles as that scan (reading the biggest column once, not twice)
     facts = pg.agg(
         F.sum(
             F.size(lines) - F.size(F.filter(lines, lambda l: l.rlike("^\\s")))
         ).alias("events"),
         F.sum(F.octet_length("text")).alias("text_bytes"),
-        F.sum(F.octet_length("html")).alias("html_bytes"),
     ).first()
     return {
         "events": int(facts.events),
         "text_bytes": int(facts.text_bytes),
-        "html_bytes": int(facts.html_bytes),
     }
 
 
@@ -225,7 +225,14 @@ CORPUS_QUERIES = (
 )
 
 
+class _BenchInterrupted(Exception):
+    """Raised by the SIGTERM handler: a driver-side timeout must still get
+    a best-effort artifact, not an empty stdout."""
+
+
 def main() -> None:
+    import signal
+
     import __spark_entry__ as entry
     from logsight_filebeat_spark.functions.caching import release_persisted
 
@@ -236,12 +243,28 @@ def main() -> None:
     n_pages = max(int(PAGES_PER_SF * sf) * 32, 64_000)
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
     pages_path = os.path.join(tmp, "pages.parquet")
+    t_start = time.time()
+
+    def phase(msg: str) -> None:
+        print(f"[bench +{time.time() - t_start:.0f}s] {msg}", file=sys.stderr)
+
+    def on_term(signum, frame):
+        raise _BenchInterrupted(f"signal {signum}")
+
+    signal.signal(signal.SIGTERM, on_term)
+    truncated = False
+    # state the artifact is built from — initialized BEFORE the try so an
+    # interrupt at any point still emits whatever was measured
+    facts: dict = {}
+    timings: dict[str, float] = {}
+    all_runs: dict[int, list[float]] = {}
+    scaling = None
     try:
         spark = _session(CPUS)
+        phase("session up")
         queries = entry.queries()
-        facts = _materialize_pages(spark, n_pages, pages_path)
-
-        timings: dict[str, float] = {}
+        facts.update(_materialize_pages(spark, n_pages, pages_path))
+        phase(f"pages materialized ({n_pages} pages)")
         for name in CORPUS_QUERIES:
             t0 = time.time()
             _noop(queries[name](spark, SF_DIR))
@@ -255,12 +278,20 @@ def main() -> None:
         # Warm-up pass first, min-of-N timed — same steady-state methodology
         # as the pipeline children (round-1 measured this cold and the doc
         # and artifact disagreed 36×).
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         from logsight_filebeat_spark.operators.multimodal import media_meta
 
         html_df = spark.read.parquet(pages_path).select(
             media_meta("html").alias("meta")
         )
-        _noop(html_df)  # warm-up (page cache + codegen)
+        # warm-up (page cache + codegen) doubling as the html byte count
+        facts["html_bytes"] = int(
+            spark.read.parquet(pages_path)
+            .agg(F.sum(F.octet_length("html")))
+            .first()[0]
+        )
+        _noop(html_df)
         html_times = []
         for _ in range(max(RUNS - 1, 2)):
             t0 = time.time()
@@ -274,68 +305,53 @@ def main() -> None:
             file=sys.stderr,
         )
         spark.stop()
+        phase("corpus + html done")
+
+        # Machine contention ceilings, measured BEFORE the children so a
+        # driver-side timeout mid-children still leaves them in the artifact
+        # (pure-CPU, ~25 s total).
+        ceil_o = ceil_s = None
+        if RUN_SCALING:
+            ceil_o = _cpu_ceiling(2, 8)
+            ceil_s = _cpu_ceiling(8, 32)
+            phase("cpu ceilings measured")
 
         # pipeline throughput at pinned parallelism levels over the same
         # parquet input. Official N→4N pair: 2→8 cores; secondary: 8→32
-        # (headline events/sec comes from the 32-core best). The 2-core
-        # child is the wall-clock hog — it gets one fewer timed run (its
-        # run-to-run spread is also the smallest: no contention).
-        order = [2, 8, 32] if RUN_SCALING else [CPUS]
-        all_runs: dict[int, list[float]] = {}
-        for cores in order:
-            runs = _pinned_pipeline_run(
-                cores, pages_path, runs=max(RUNS - 1, 2) if cores == 2 else RUNS
-            )
-            all_runs.setdefault(cores, []).extend(runs)
-            best = min(runs)
-            print(
-                f"pipeline local[{cores}] (pinned to {cores} cpus): "
-                f"{facts['events']} events best {best:.2f}s "
-                f"({facts['events'] / best:,.0f} ev/s) runs={runs}",
-                file=sys.stderr,
-            )
-        best = {c: min(ts) for c, ts in all_runs.items()}
-        head_cores = 32 if 32 in best else max(best)
-        pipe_sec = best[head_cores]
-        eps = facts["events"] / pipe_sec
-        gbs = facts["text_bytes"] / pipe_sec / 1e9
-        timings["pipeline_pages"] = round(pipe_sec, 3)
+        # (headline events/sec comes from the 32-core best). lo/hi children
+        # INTERLEAVED (2,8,2): host-side drift (steal, faulting) varies on
+        # a minutes scale, and a drift window landing on exactly one level
+        # is what corrupts the ratio — uniform slowdowns cancel in it. The
+        # hi level sits BETWEEN the two long lo windows; efficiency uses
+        # best-per-level across children and is recomputed after every
+        # child, so truncation keeps the latest complete pair.
+        order = [2, 8, 2, 32] if RUN_SCALING else [CPUS]
 
-        scaling = None
-        if RUN_SCALING:
+        def pair(lo: int, hi: int, best: dict) -> dict:
+            eff = (facts["events"] / best[hi]) / (
+                facts["events"] / best[lo]
+            ) / (hi / lo)
+            return {
+                "cores_lo": lo,
+                "cores_hi": hi,
+                "eps_lo": round(facts["events"] / best[lo], 1),
+                "eps_hi": round(facts["events"] / best[hi], 1),
+                "runs_lo": all_runs[lo],
+                "runs_hi": all_runs[hi],
+                "efficiency": round(eff, 3),
+            }
 
-            def pair(lo: int, hi: int) -> dict:
-                eff = (facts["events"] / best[hi]) / (
-                    facts["events"] / best[lo]
-                ) / (hi / lo)
-                return {
-                    "cores_lo": lo,
-                    "cores_hi": hi,
-                    "eps_lo": round(facts["events"] / best[lo], 1),
-                    "eps_hi": round(facts["events"] / best[hi], 1),
-                    "runs_lo": all_runs[lo],
-                    "runs_hi": all_runs[hi],
-                    "efficiency": round(eff, 3),
-                }
-
-            official = pair(2, 8)
-            secondary = pair(8, 32)
-            ceil_o = _cpu_ceiling(2, 8)
-            ceil_s = _cpu_ceiling(8, 32)
-            scaling = {
+        def build_scaling() -> dict | None:
+            best = {c: min(ts) for c, ts in all_runs.items()}
+            if not (2 in best and 8 in best):
+                return None
+            official = pair(2, 8, best)
+            out = {
                 **official,  # the N → 4N gate pair
                 "cpu_ceiling_2_8": ceil_o,
                 "efficiency_vs_ceiling": round(
                     official["efficiency"] / ceil_o["ceiling_efficiency"], 3
                 ),
-                "secondary_8_32": {
-                    **secondary,
-                    "cpu_ceiling_8_32": ceil_s,
-                    "efficiency_vs_ceiling": round(
-                        secondary["efficiency"] / ceil_s["ceiling_efficiency"],
-                        3,
-                    ),
-                },
                 "note": (
                     "official pair 2->8 pinned cores (N->4N): the regime "
                     "where both levels run inside the box's headroom, the "
@@ -349,9 +365,43 @@ def main() -> None:
                     "the saturation end of the same curve"
                 ),
             }
+            if 32 in best:
+                secondary = pair(8, 32, best)
+                out["secondary_8_32"] = {
+                    **secondary,
+                    "cpu_ceiling_8_32": ceil_s,
+                    "efficiency_vs_ceiling": round(
+                        secondary["efficiency"] / ceil_s["ceiling_efficiency"],
+                        3,
+                    ),
+                }
+            return out
+
+        for cores in order:
+            # the 2-core children are the wall-clock hogs AND have the
+            # tightest run-to-run spread: 2 timed draws each suffice
+            runs = _pinned_pipeline_run(
+                cores, pages_path, runs=2 if cores == 2 else RUNS
+            )
+            all_runs.setdefault(cores, []).extend(runs)
+            phase(f"child local[{cores}] done")
+            print(
+                f"pipeline local[{cores}] (pinned to {cores} cpus): "
+                f"{facts['events']} events best {min(runs):.2f}s "
+                f"({facts['events'] / min(runs):,.0f} ev/s) runs={runs}",
+                file=sys.stderr,
+            )
+            if RUN_SCALING:
+                scaling = build_scaling() or scaling
+    except (_BenchInterrupted, KeyboardInterrupt) as e:
+        truncated = True
+        print(f"[bench] interrupted ({e}); emitting partial artifact",
+              file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # headline throughput from the best measured level (32-core when it ran)
+    best = {c: min(ts) for c, ts in all_runs.items()} if all_runs else {}
     out = {
         "metric": "wall_seconds_total",
         "value": round(sum(timings.values()), 3),
@@ -359,13 +409,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "pages": n_pages,
-        "events": facts["events"],
-        "events_per_sec": round(eps, 1),
-        "gb_per_sec": round(gbs, 4),
-        "html_gb_per_sec": round(html_gbs, 4),
+        "events": facts.get("events"),
     }
+    if best:
+        head_cores = 32 if 32 in best else max(best)
+        pipe_sec = best[head_cores]
+        timings["pipeline_pages"] = round(pipe_sec, 3)
+        out["value"] = round(sum(timings.values()), 3)
+        out["events_per_sec"] = round(facts["events"] / pipe_sec, 1)
+        out["gb_per_sec"] = round(facts["text_bytes"] / pipe_sec / 1e9, 4)
+        out["pipeline_cores"] = head_cores
+    if "html_media_meta" in timings and "html_bytes" in facts:
+        out["html_gb_per_sec"] = round(
+            facts["html_bytes"] / timings["html_media_meta"] / 1e9, 4
+        )
     if scaling:
         out["scaling"] = scaling
+    if truncated:
+        out["truncated"] = True
     print(json.dumps(out))
 
 

@@ -18,6 +18,12 @@ Two tiers:
   * ``embedding_near_dups_lsh`` — the composed near-dup operator: SRP-bucket
     candidate pairs → exact cosine verify ≥ threshold, one call. Equals the
     exact dedup.embedding_near_dups restricted to same-bucket candidates.
+  * ``ivf_codebook`` / ``ivf_assign`` / ``ivf_topk`` — the IVF architecture
+    (inverted lists + nprobe partition-pruned search): vectors assign to
+    their nearest coarse centroid; queries probe their nprobe nearest
+    centroids and rank exact cosine over only those lists. With
+    nprobe == n_centroids this is exactly brute force (test-pinned), which
+    makes the recall/cost dial explicit.
 
 All deterministic (hyperplane coefficients derive from md5(plane,dim)) and
 DuckDB-expressible for the oracle.
@@ -237,6 +243,120 @@ def embedding_near_dups_lsh(
             F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_codebook(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer codebook for IVF: (centroid_id, cv). Deterministic
+    placeholder codebook — the ``n_centroids`` lowest-id vectors (production
+    trains one offline with k-means and loads it as a table; the IVF *query
+    architecture* below is identical either way and codebook quality only
+    moves recall, not the plan shape)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")
+        )
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .filter(F.col("centroid_id") < n_centroids)
+        .select("centroid_id", "cv")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list assignment: each vector joins its single nearest
+    centroid (max cosine, rounded to 6 so both engines tie-break
+    identically; ties by centroid_id). The codebook is broadcast — the
+    'join' is a constant-k per-row scoring pass, not a pairwise blowup —
+    and at scale the output is what you bucket/write partitioned by
+    centroid_id (the inverted lists)."""
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(codebook))
+        .withColumn("csim", F.round(cosine_sim(F.col("v"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: queries probe their ``nprobe`` nearest centroids and
+    rank exact cosine over ONLY those inverted lists — the partition-pruned
+    search path (vs LSH's hash buckets). Scan cost per query is
+    nprobe/n_centroids of the corpus instead of all of it; candidates come
+    from an equi-join on centroid_id with the (small) probe list broadcast.
+
+    Returns (query_id, neighbor_id, cosine, rank), self excluded, ties by
+    neighbor id — same contract as brute_force_topk/srp_topk."""
+    from pyspark.sql import Window
+
+    cb = ivf_codebook(vectors, n_centroids, id_col, vec_col)
+    inv = ivf_assign(vectors, cb, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        "centroid_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qscore = (
+        q.crossJoin(F.broadcast(cb))
+        .withColumn("csim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscore.withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        inv.join(
+            F.broadcast(probes),
+            (inv["centroid_id"] == probes["centroid_id"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("nv")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

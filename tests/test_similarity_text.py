@@ -115,6 +115,42 @@ def test_embedding_near_dups_lsh_is_exact_restricted_to_buckets(spark):
     assert (1, 2) in lsh and (3, 4) in lsh
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """The IVF dial is explicit: probing EVERY inverted list is brute force
+    — identical rows, not just identical recall."""
+    rows = [
+        (i, [float((i * 11 + d * 3) % 13 - 6) / 6 for d in range(5)])
+        for i in range(40)
+    ]
+    vecs = _vecs(spark, rows)
+    qs = vecs.filter(F.col("vec_id") < 6)
+    brute = sorted(
+        map(tuple, sim.brute_force_topk(vecs, qs, k=4).collect())
+    )
+    full_probe = sorted(
+        map(tuple, sim.ivf_topk(vecs, qs, k=4, n_centroids=6, nprobe=6).collect())
+    )
+    assert brute == full_probe
+    # nprobe=1 returns ≤ k per query and only true vectors
+    narrow = sim.ivf_topk(vecs, qs, k=4, n_centroids=6, nprobe=1).collect()
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in narrow)
+    assert all(n <= 4 for n in per_q.values())
+    assert {r.neighbor_id for r in narrow} <= {i for i, _ in rows}
+
+
+def test_ivf_assign_one_list_per_vector(spark):
+    rows = [(i, [float(i % 5), 1.0]) for i in range(20)]
+    vecs = _vecs(spark, rows)
+    cb = sim.ivf_codebook(vecs, n_centroids=4)
+    assert cb.count() == 4
+    asg = sim.ivf_assign(vecs, cb)
+    assert asg.count() == 20  # every vector lands in exactly one list
+    assert asg.select("id").distinct().count() == 20
+    assert asg.filter(~F.col("centroid_id").between(0, 3)).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
