@@ -318,6 +318,37 @@ def test_grok_set_first_match_wins_and_union_schema(spark):
     assert rows[4].parsed is None and rows[4].parsed_pattern is None
 
 
+def test_grok_set_mixed_engines_vectorized_equals_native(spark):
+    """A set mixing an RE2-compilable pattern with a lookahead pattern
+    (Python-re fallback) must still chain correctly on the Arrow path —
+    per-pattern engine choice is invisible in the results."""
+    from logsight_filebeat_spark.operators.parse import (
+        compile_grok_set,
+        with_grok_set_native,
+        with_grok_set_vectorized,
+    )
+
+    gs = compile_grok_set(
+        ["%{IP:client} %{INT:status}", "%{BANGWORD:w}! %{GREEDYDATA:rest}"],
+        {"BANGWORD": r"\w+(?=!)"},
+    )
+    assert gs.patterns[0].arrow_re2 and not gs.patterns[1].arrow_re2
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1 200"), (2, "abc! tail"), (3, "nothing matches")],
+        "i long, t string",
+    )
+    native = {
+        r.i: (r.parsed, r.parsed_pattern)
+        for r in with_grok_set_native(df, "t", gs).collect()
+    }
+    vect = {
+        r.i: (r.parsed, r.parsed_pattern)
+        for r in with_grok_set_vectorized(df, "t", gs).collect()
+    }
+    assert native == vect
+    assert native[1][1] == 0 and native[2][1] == 1 and native[3][1] is None
+
+
 def test_grok_set_vectorized_equals_native(spark):
     from logsight_filebeat_spark.operators.parse import (
         compile_grok_set,
