@@ -252,22 +252,67 @@ def ivf_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Coarse-quantizer codebook for IVF: (centroid_id, cv). Deterministic
-    placeholder codebook — the ``n_centroids`` lowest-id vectors (production
-    trains one offline with k-means and loads it as a table; the IVF *query
-    architecture* below is identical either way and codebook quality only
-    moves recall, not the plan shape)."""
-    from pyspark.sql import Window
+    """Coarse-quantizer seed codebook for IVF: (centroid_id, cv) — the
+    ``n_centroids`` lowest-id vectors, ``centroid_id`` = the seed's own id
+    (any deterministic distinct key works: it is a grouping/tie-break key,
+    never part of a query result, and id-order is rank-order so tie-breaks
+    match a dense 0..n-1 numbering exactly).
 
-    w = Window.orderBy(F.col(id_col).asc())
+    Plans as TakeOrderedAndProject — every partition contributes its local
+    top-n and the driver merges n_centroids rows; no global sort, no
+    single-partition Window (the round-2 shape this replaces). Seeds feed
+    ``ivf_train_codebook`` for a real Lloyd-iterated codebook."""
     return (
         vectors.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
         )
-        .withColumn("centroid_id", F.row_number().over(w) - 1)
-        .filter(F.col("centroid_id") < n_centroids)
-        .select("centroid_id", "cv")
+        .orderBy("centroid_id")
+        .limit(n_centroids)
     )
+
+
+def ivf_train_codebook(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means (Lloyd) trained codebook in pure DataFrame ops: seed with the
+    ``n_centroids`` lowest-id vectors, then ``iterations`` rounds of
+    assign → recenter. Returns (centroid_id, cv).
+
+    Each round is two bounded-shuffle stages, both fully distributed:
+      * assign — broadcast the ≤n_centroids codebook, constant-k argmax
+        cosine per row (``ivf_assign``; never a pairwise blowup);
+      * recenter — posexplode each vector to (centroid_id, pos, x) and
+        hash-aggregate avg(x) by (centroid_id, pos) with map-side partial
+        aggregation, then reassemble the mean vector with a tiny
+        n_centroids×dim collect_list.  No vector list is ever gathered onto
+        one task — the widest state anywhere is one running (sum, count)
+        per (centroid, dimension).
+
+    Components are rounded to 6 decimals each round so the DuckDB oracle
+    (same seeds, same rounding) reproduces the codebook bit-identically —
+    the same cross-engine determinism contract every cosine in this module
+    uses. Empty clusters drop out (codebook may shrink below n_centroids),
+    matching textbook Lloyd on a fixed seed set."""
+    cb = ivf_codebook(vectors, n_centroids, id_col, vec_col)
+    for _ in range(iterations):
+        asg = ivf_assign(vectors, cb, id_col, vec_col)
+        by_dim = (
+            asg.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        cb = by_dim.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    return cb
 
 
 def ivf_assign(
@@ -310,6 +355,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: queries probe their ``nprobe`` nearest centroids and
     rank exact cosine over ONLY those inverted lists — the partition-pruned
@@ -317,11 +363,18 @@ def ivf_topk(
     nprobe/n_centroids of the corpus instead of all of it; candidates come
     from an equi-join on centroid_id with the (small) probe list broadcast.
 
+    ``codebook`` defaults to the deterministic seed codebook; pass
+    ``ivf_train_codebook(...)`` (or a pre-trained table) for real recall.
+
     Returns (query_id, neighbor_id, cosine, rank), self excluded, ties by
     neighbor id — same contract as brute_force_topk/srp_topk."""
     from pyspark.sql import Window
 
-    cb = ivf_codebook(vectors, n_centroids, id_col, vec_col)
+    cb = (
+        codebook
+        if codebook is not None
+        else ivf_codebook(vectors, n_centroids, id_col, vec_col)
+    )
     inv = ivf_assign(vectors, cb, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("nv"),

@@ -128,6 +128,43 @@ def test_grok_set_native_path_has_no_python_eval(spark):
         assert marker not in plan, marker
 
 
+def test_ivf_codebook_selection_is_distributed(spark):
+    """Codebook seed selection must plan as TakeOrderedAndProject (every
+    partition contributes its local top-n) — the round-2 shape was an
+    unpartitioned Window.orderBy, i.e. a global single-task sort over the
+    whole vectors table."""
+    from logsight_filebeat_spark.operators.similarity import ivf_codebook
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = _formatted(ivf_codebook(vecs, n_centroids=8))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ivf_training_has_no_single_task_stage(spark):
+    """The Lloyd recenter is a hash aggregate by (centroid, dim) — no global
+    Sort, no unpartitioned Window, no cartesian blowup anywhere in the
+    training DAG (the assign window partitions by vector id)."""
+    from logsight_filebeat_spark.operators.similarity import ivf_train_codebook
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = _formatted(ivf_train_codebook(vecs, n_centroids=4, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # every Window in the plan must be partitioned (the ivf_assign argmax);
+    # an unpartitioned one prints 'Window [...], [...]' with no partition spec
+    import re
+
+    for m in re.finditer(r"Arguments: \[row_number\(\).*", plan):
+        assert "windowspecdefinition(id" in m.group(0) or "partitionBy" in m.group(0), m.group(0)
+
+
 def test_exact_dedup_is_two_hash_shuffles_not_a_sort(spark):
     from logsight_filebeat_spark.operators.dedup import dedup_exact
 

@@ -145,10 +145,34 @@ def test_ivf_assign_one_list_per_vector(spark):
     vecs = _vecs(spark, rows)
     cb = sim.ivf_codebook(vecs, n_centroids=4)
     assert cb.count() == 4
+    # centroid_id is the seed's own id — the 4 lowest ids here
+    assert sorted(r.centroid_id for r in cb.collect()) == [0, 1, 2, 3]
     asg = sim.ivf_assign(vecs, cb)
     assert asg.count() == 20  # every vector lands in exactly one list
     assert asg.select("id").distinct().count() == 20
     assert asg.filter(~F.col("centroid_id").between(0, 3)).count() == 0
+
+
+def test_ivf_train_codebook_converges_to_cluster_means(spark):
+    """Two orthogonal blobs with one seed in each (ids 0 and 1 — the two
+    lowest, so they ARE the seeds): one Lloyd round lands each centroid on
+    its blob's exact mean, and a second round is a fixed point because the
+    blob assignment can't change."""
+    blob_a = [(i, [1.0 + 0.01 * i, 0.0]) for i in (0, 10, 11, 12)]
+    blob_b = [(i, [0.0, 1.0 + 0.01 * i]) for i in (1, 20, 21, 22)]
+    vecs = _vecs(spark, blob_a + blob_b)
+    cb1 = {
+        r.centroid_id: tuple(r.cv)
+        for r in sim.ivf_train_codebook(vecs, n_centroids=2, iterations=1).collect()
+    }
+    cb2 = {
+        r.centroid_id: tuple(r.cv)
+        for r in sim.ivf_train_codebook(vecs, n_centroids=2, iterations=2).collect()
+    }
+    mean_a = (round(sum(1.0 + 0.01 * i for i, _ in blob_a) / 4, 6), 0.0)
+    mean_b = (0.0, round(sum(1.0 + 0.01 * i for i, _ in blob_b) / 4, 6))
+    assert cb1 == {0: mean_a, 1: mean_b}
+    assert cb2 == cb1  # converged — iteration 2 is a fixed point
 
 
 # ---------------------------------------------------------------------------
