@@ -37,9 +37,15 @@ def track_persist(
 
 
 def release_persisted() -> int:
-    """Unpersist every tracked handle; returns how many were released."""
+    """Unpersist every tracked handle; returns how many were released.
+    Best-effort per handle: one dead session's handle (unpersist raises
+    after spark.stop()) must not strand the remaining entries pinned."""
     n = 0
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-        n += 1
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # owning session already stopped — nothing left to unpin
     return n

@@ -104,7 +104,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard over candidate pairs sharing ≥1 shingle.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
@@ -117,8 +117,9 @@ def jaccard_pairs(
     not near-dups), bounding the join fan-out at candidates × max_doc_freq.
     Jaccard is then computed over the capped universe (per-doc sizes are
     recounted over surviving shingles, so the measure stays a true Jaccard
-    of the reduced sets). ``None`` keeps the exact full-universe form —
-    the verification-scale baseline."""
+    of the reduced sets). The default cap (1000) makes the scale-safe form
+    the default; pass ``None`` explicitly for the exact full-universe form —
+    the verification-scale baseline (dd_jaccard registers it that way)."""
     inv = shingle_table(df, text_col, id_col, n)
     if max_doc_freq is not None:
         keep = (

@@ -36,7 +36,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# public grok base vocabulary (subset); internals non-capturing
+# public grok base vocabulary (subset); internals non-capturing. Entries may
+# reference other entries with %{NAME} / %{NAME:field} — compile_grok expands
+# recursively (composites like COMBINEDAPACHELOG emit their nested fields).
+# All bodies are RE2-safe (no lookaround/backrefs) so every pattern built
+# from this vocabulary takes the Arrow RE2-in-C vectorized path; the handful
+# of upstream-grok definitions that use lookaround (e.g. TIME's (?!<[0-9]))
+# are rewritten with anchored char classes of identical effect on log text.
 BASE_PATTERNS: dict[str, str] = {
     "WORD": r"\b\w+\b",
     "NOTSPACE": r"\S+",
@@ -57,6 +63,37 @@ BASE_PATTERNS: dict[str, str] = {
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
     "URIPATH": r"(?:/[A-Za-z0-9_.%$+!*'(),~:;=@#-]*)+",
     "QS": r"\"[^\"]*\"",
+    # round-3 widening: the common public grok names users hit first
+    "HOSTNAME": (
+        r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
+        r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\b"
+    ),
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"%{USER}",
+    "MONTH": (
+        r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?"
+        r"|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?"
+        r"|Dec(?:ember)?)\b"
+    ),
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "HOUR": r"(?:2[0123]|[01][0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    # composite access-log patterns: expanding %{COMBINEDAPACHELOG} emits
+    # every nested field (clientip, verb, response, ... agent)
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] "
+        r"\"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
@@ -189,14 +226,19 @@ class CompiledGrok:
         return re.compile(self.regex, re.ASCII)
 
 
-def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
-    """Expand %{BASE:field} refs into one regex with positional groups.
-    Unnamed refs (%{BASE}) expand non-capturing; literal parens in the
-    pattern or vocab are rewritten non-capturing (_decapture) so group
-    numbering stays field-positional. Unknown base ⇒ ValueError at compile
-    time (driver), mirroring config.go:42-45."""
-    vocab = {**BASE_PATTERNS, **(extra_patterns or {})}
-    fields: list[str] = []
+def _expand_grok(
+    pattern: str, vocab: dict[str, str], fields: list[str], depth: int = 0
+) -> str:
+    """Recursively expand %{BASE[:field]} refs; vocabulary bodies may
+    themselves contain refs (composites like COMBINEDAPACHELOG). Named refs
+    open a capture group and record the field BEFORE their body expands, so
+    the fields tuple stays in opening-paren order — the order regexp_extract
+    and RE2's positional rename both use, even with nested captures."""
+    if depth > 16:
+        raise ValueError(
+            f"grok expansion exceeds depth 16 at {pattern!r} — "
+            "cyclic vocabulary reference"
+        )
     parts: list[str] = []
     pos = 0
     for m in _GROK_REF.finditer(pattern):
@@ -204,15 +246,35 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
         base, field = m.group(1), m.group(2)
         if base not in vocab:
             raise ValueError(f"unknown grok pattern %{{{base}}}")
-        body = _decapture(vocab[base])
         if field:
+            if field in fields:
+                raise ValueError(
+                    f"grok pattern captures field {field!r} twice — "
+                    "the output struct needs unique field names"
+                )
             fields.append(field)
-            parts.append(f"({body})")
-        else:
-            parts.append(f"(?:{body})")
+        body = vocab[base]
+        expanded = (
+            _expand_grok(body, vocab, fields, depth + 1)
+            if _GROK_REF.search(body)
+            else _decapture(body)
+        )
+        parts.append(f"({expanded})" if field else f"(?:{expanded})")
         pos = m.end()
     parts.append(_decapture(pattern[pos:]))
-    regex = "".join(parts)
+    return "".join(parts)
+
+
+def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
+    """Expand %{BASE:field} refs into one regex with positional groups.
+    Vocabulary bodies expand recursively (composites emit nested fields);
+    unnamed refs (%{BASE}) expand non-capturing; literal parens in the
+    pattern or vocab are rewritten non-capturing (_decapture) so group
+    numbering stays field-positional. Unknown base ⇒ ValueError at compile
+    time (driver), mirroring config.go:42-45."""
+    vocab = {**BASE_PATTERNS, **(extra_patterns or {})}
+    fields: list[str] = []
+    regex = _expand_grok(pattern, vocab, fields)
     if not fields:
         raise ValueError(f"grok pattern {pattern!r} captures no fields")
     compiled = re.compile(regex)  # validate now, on the driver
@@ -277,30 +339,47 @@ def compile_grok_set(
 # ---------------------------------------------------------------------------
 
 
+PAIRS_FIELD = "_pairs"  # map field emitted by %{*key}/%{&key} patterns
+
+
 @dataclass(frozen=True)
 class CompiledDissect:
     """Beats-style dissect pattern: ``%{a} %{b} - %{rest}`` splits on the
     exact literal delimiters between fields; the final field takes the
-    remainder. No regex at runtime — whole-stage-codegen string finds.
+    remainder. No regex at runtime — whole-stage-codegen string finds (the
+    one exception: a ``->`` padded token strips repeats of its delimiter
+    with one anchored regexp_replace).
 
     Beats field modifiers supported:
       * ``%{?name}`` / ``%{}`` — skip: the token is consumed (its delimiter
         still anchors the split) but emits no output field.
       * ``%{+name}`` — append: the token's value concatenates onto the
         earlier ``name`` capture, joined by ``append_separator``.
+      * ``%{name->}`` — right padding: consecutive repeats of the delimiter
+        after this token are skipped (column-aligned output); combines with
+        any other modifier (``%{?x->}``, ``%{+x->}`` …).
+      * ``%{*key}`` / ``%{&key}`` — reference pair: ``*key`` captures an
+        output FIELD NAME from the data, ``&key`` the matching value. Pairs
+        emit as entries of a ``_pairs`` map<string,string> field (a
+        DataFrame column needs a static type, so dynamic names become map
+        keys rather than struct fields).
+      * ``%{+name/2}`` ordered appends are NOT supported — compile raises
+        (the only remaining gap in the Beats dissect surface).
 
-    ``tokens`` holds one (kind, name) per positional token, kind ∈
-    {field, skip, append}; ``fields`` is the OUTPUT schema (plain + append
-    bases, first-appearance order)."""
+    ``tokens`` holds one (kind, name, padded) per positional token, kind ∈
+    {field, skip, append, pairkey, pairval}; ``fields`` is the static OUTPUT
+    schema (plain + append bases, first-appearance order; pair patterns add
+    ``_pairs``)."""
 
     source: str
     fields: tuple[str, ...]
     delimiters: tuple[str, ...]  # len == len(tokens) - 1; literal separators
-    tokens: tuple[tuple[str, str], ...] = ()
+    tokens: tuple[tuple[str, str, bool], ...] = ()
     append_separator: str = ""
+    pair_names: tuple[str, ...] = ()
 
 
-_DISSECT_REF = re.compile(r"%\{([?+]?\w*)\}")
+_DISSECT_REF = re.compile(r"%\{([?+*&]?[\w/]*(?:->)?)\}")
 
 
 def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect:
@@ -325,11 +404,21 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
             f"dissect pattern {pattern!r} has adjacent fields with no "
             "literal delimiter between them"
         )
-    tokens: list[tuple[str, str]] = []
+    tokens: list[tuple[str, str, bool]] = []
     fields: list[str] = []
+    pair_keys: list[str] = []
+    pair_vals: list[str] = []
     for tok in raw:
+        padded = tok.endswith("->")
+        if padded:
+            tok = tok[:-2]
+        if "/" in tok:
+            raise ValueError(
+                f"dissect pattern {pattern!r}: ordered append "
+                f"%{{{tok}}} is not supported"
+            )
         if tok == "" or tok.startswith("?"):
-            tokens.append(("skip", tok[1:] if tok else ""))
+            tokens.append(("skip", tok[1:] if tok else "", padded))
         elif tok.startswith("+"):
             name = tok[1:]
             if not name:
@@ -339,15 +428,40 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
                     f"dissect pattern {pattern!r}: %{{+{name}}} appends to a "
                     "field that has not appeared yet"
                 )
-            tokens.append(("append", name))
+            tokens.append(("append", name, padded))
+        elif tok.startswith("*"):
+            name = tok[1:]
+            if not name or name in pair_keys:
+                raise ValueError(
+                    f"dissect pattern {pattern!r}: bad or repeated pair key "
+                    f"%{{*{name}}}"
+                )
+            tokens.append(("pairkey", name, padded))
+            pair_keys.append(name)
+        elif tok.startswith("&"):
+            name = tok[1:]
+            if not name or name in pair_vals:
+                raise ValueError(
+                    f"dissect pattern {pattern!r}: bad or repeated pair value "
+                    f"%{{&{name}}}"
+                )
+            tokens.append(("pairval", name, padded))
+            pair_vals.append(name)
         else:
             if tok in fields:
                 raise ValueError(
                     f"dissect pattern {pattern!r} repeats field {tok!r} "
                     "(use %{+" + tok + "} to append)"
                 )
-            tokens.append(("field", tok))
+            tokens.append(("field", tok, padded))
             fields.append(tok)
+    if sorted(pair_keys) != sorted(pair_vals):
+        raise ValueError(
+            f"dissect pattern {pattern!r}: every %{{*key}} needs a matching "
+            f"%{{&key}} (keys {pair_keys}, values {pair_vals})"
+        )
+    if pair_keys:
+        fields.append(PAIRS_FIELD)
     if not fields:
         raise ValueError(f"dissect pattern {pattern!r} captures no fields")
     return CompiledDissect(
@@ -356,6 +470,7 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
         delimiters=delimiters,
         tokens=tuple(tokens),
         append_separator=append_separator,
+        pair_names=tuple(sorted(pair_keys)),
     )
 
 
@@ -363,29 +478,43 @@ def dissect_native(col: Column | str, dissect: CompiledDissect) -> Column:
     """One struct column of captures; NULL struct when any delimiter is
     missing (row failure, matching the grok no-match semantics). Pure
     substring arithmetic on ``instr`` positions — no regex engine at all,
-    the cheapest extraction path for fixed-layout records."""
+    the cheapest extraction path for fixed-layout records. A padded token
+    (``->``) additionally strips leading repeats of its delimiter from the
+    remainder with one anchored regexp_replace."""
     c = F.col(col) if isinstance(col, str) else col
     remaining = c
     values: list[Column] = []
     ok = F.lit(True)
-    for delim in dissect.delimiters:
+    for (_, _, padded), delim in zip(dissect.tokens, dissect.delimiters):
         pos = F.instr(remaining, F.lit(delim))  # 1-based; 0 = not found
         ok = ok & (pos > 0)
         values.append(F.substring(remaining, 1, pos - 1))
         remaining = F.substring(
             remaining, pos + len(delim), F.length(remaining)
         )
+        if padded:
+            remaining = F.regexp_replace(
+                remaining, "^(?:" + re.escape(delim) + ")*", ""
+            )
     values.append(remaining)
     outputs: dict[str, Column] = {}
-    for (kind, name), v in zip(dissect.tokens, values):
+    pair_kv: dict[str, dict[str, Column]] = {}
+    for (kind, name, _), v in zip(dissect.tokens, values):
         if kind == "skip":
             continue
         if kind == "append":
             outputs[name] = F.concat(
                 outputs[name], F.lit(dissect.append_separator), v
             )
+        elif kind in ("pairkey", "pairval"):
+            pair_kv.setdefault(name, {})["k" if kind == "pairkey" else "v"] = v
         else:
             outputs[name] = v
+    if dissect.pair_names:
+        kvs: list[Column] = []
+        for name in dissect.pair_names:
+            kvs.extend((pair_kv[name]["k"], pair_kv[name]["v"]))
+        outputs[PAIRS_FIELD] = F.create_map(*kvs)
     struct = F.struct(*[outputs[n].alias(n) for n in dissect.fields])
     return F.when(ok, struct)
 
@@ -411,15 +540,77 @@ DEFAULT_CONTINUATION = r"^\s"
 _DEFAULT_BOUNDARY_RE = r"\n(?![ \t\x0B\f\r])"
 
 
+def _multiline_fold_guarded(
+    lines: Column,
+    cont,
+    max_lines: int | None,
+    flush_pattern: str | None,
+) -> Column:
+    """After-mode fold with the Beats guards. Accumulator carries the open
+    event's line count so the cap is O(1) state: a continuation line beyond
+    ``max_lines`` is discarded (event neither grows nor splits — Beats
+    truncation), and a line matching ``flush_pattern`` closes the event it
+    just joined. Same emit shape as the unguarded fold otherwise."""
+
+    def grew(cur: Column, n: Column, x: Column) -> Column:
+        if max_lines is None:
+            return F.concat(cur, F.lit("\n"), x)
+        return F.when(n < max_lines, F.concat(cur, F.lit("\n"), x)).otherwise(cur)
+
+    def grew_n(n: Column) -> Column:
+        if max_lines is None:
+            return n + 1
+        return F.when(n < max_lines, n + 1).otherwise(n)
+
+    def step(acc: Column, x: Column) -> Column:
+        ev, cur, n = (acc.getField(f) for f in ("events", "cur", "n"))
+        is_cont = cont(x) & cur.isNotNull()
+        new_ev = F.when(
+            is_cont | cur.isNull(), ev
+        ).otherwise(F.array_append(ev, cur))
+        new_cur = F.when(is_cont, grew(cur, n, x)).otherwise(x)
+        new_n = F.when(is_cont, grew_n(n)).otherwise(F.lit(1))
+        open_acc = F.struct(
+            new_ev.alias("events"), new_cur.alias("cur"), new_n.alias("n")
+        )
+        if flush_pattern is None:
+            return open_acc
+        return F.when(
+            x.rlike(flush_pattern),
+            F.struct(
+                F.array_append(new_ev, new_cur).alias("events"),
+                F.lit(None).cast("string").alias("cur"),
+                F.lit(0).alias("n"),
+            ),
+        ).otherwise(open_acc)
+
+    folded = F.aggregate(
+        lines,
+        F.struct(
+            F.array().cast("array<string>").alias("events"),
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).alias("n"),
+        ),
+        step,
+        lambda acc: F.when(
+            acc.getField("cur").isNull(), acc.getField("events")
+        ).otherwise(F.array_append(acc.getField("events"), acc.getField("cur"))),
+    )
+    return folded.cast("array<string>")
+
+
 def multiline_join(
     text: Column | str,
     continuation: str = DEFAULT_CONTINUATION,
     negate: bool = False,
     match: str = "after",
+    max_lines: int | None = None,
+    flush_pattern: str | None = None,
 ) -> Column:
     """Fold a page's lines into logical events — the Beats multiline
-    processor's full config surface (pattern/negate/match, the framework
-    capability the reference configures; /root/reference/go.mod:139):
+    processor's full config surface (pattern/negate/match/max_lines/
+    flush_pattern, the framework capability the reference configures;
+    /root/reference/go.mod:139):
 
       * ``match="after"`` (default): a line whose continuation test passes
         appends (with \\n) to the PREVIOUS event. negate=False ⇒ test is
@@ -430,17 +621,41 @@ def multiline_join(
         line(s); the first line failing the test TERMINATES the event
         (classic trailing-backslash line continuation). A trailing run with
         no terminator still emits as a final event.
+      * ``max_lines``: an event keeps at most this many lines; further
+        continuation lines of that event are DISCARDED (Beats truncation
+        semantics — they neither grow the event nor start a new one). This
+        also bounds the fold's accumulator, so one pathological page where
+        every line is a continuation can no longer build an event the size
+        of the page.
+      * ``flush_pattern`` (after-mode): a line matching it closes the event
+        it just joined (the line is included, Beats flush semantics) — the
+        next line starts a fresh event unconditionally. Beats' ``timeout``
+        guard is wall-clock-based and has no meaning inside a batch fold
+        over an already-materialized page; it is deliberately absent.
 
     Returns array<string>. Pure Column expressions — no shuffle, no UDF.
 
-    Fast path: for the default after-mode ``^\\s`` continuation the fold is
-    equivalent to one regex split on event boundaries (proof in
-    _DEFAULT_BOUNDARY_RE comment; pinned by tests against the general
-    fold). Every other config uses the general higher-order-function fold."""
+    Fast path: for the default after-mode ``^\\s`` continuation with no
+    guards the fold is equivalent to one regex split on event boundaries
+    (proof in _DEFAULT_BOUNDARY_RE comment; pinned by tests against the
+    general fold). Every other config uses the general higher-order-function
+    fold."""
     if match not in ("after", "before"):
         raise ValueError(f"multiline match mode {match!r}: 'after' or 'before'")
+    if max_lines is not None and max_lines < 1:
+        raise ValueError(f"multiline max_lines must be >= 1, got {max_lines}")
+    if flush_pattern is not None and match == "before":
+        raise ValueError("multiline flush_pattern requires match='after'")
+    if flush_pattern is not None:
+        re.compile(flush_pattern)  # driver-time validation, like compile_grok
     col = F.col(text) if isinstance(text, str) else text
-    if continuation == DEFAULT_CONTINUATION and not negate and match == "after":
+    if (
+        continuation == DEFAULT_CONTINUATION
+        and not negate
+        and match == "after"
+        and max_lines is None
+        and flush_pattern is None
+    ):
         return F.split(col, _DEFAULT_BOUNDARY_RE)
 
     def cont(x: Column) -> Column:
@@ -448,32 +663,50 @@ def multiline_join(
         return ~m if negate else m
 
     lines = F.split(col, "\n")
+    if match == "after" and (max_lines is not None or flush_pattern is not None):
+        return _multiline_fold_guarded(lines, cont, max_lines, flush_pattern)
     if match == "before":
         # append every line to the open event; a line FAILING the test
-        # closes it. acc.cur == NULL ⇔ no open event.
+        # closes it. acc.cur == NULL ⇔ no open event; acc.n = lines in cur
+        # (the max_lines cap discards overflow lines, Beats truncation).
+        def joined(acc: Column, x: Column) -> Column:
+            cur, n = acc.getField("cur"), acc.getField("n")
+            grown = (
+                F.concat(cur, F.lit("\n"), x)
+                if max_lines is None
+                else F.when(
+                    n < max_lines, F.concat(cur, F.lit("\n"), x)
+                ).otherwise(cur)
+            )
+            return F.when(cur.isNull(), x).otherwise(grown)
+
         folded = F.aggregate(
             lines,
             F.struct(
                 F.array().cast("array<string>").alias("events"),
                 F.lit(None).cast("string").alias("cur"),
+                F.lit(0).alias("n"),
             ),
             lambda acc, x: F.when(
                 cont(x),
                 F.struct(
                     acc.getField("events").alias("events"),
-                    F.when(acc.getField("cur").isNull(), x)
-                    .otherwise(F.concat(acc.getField("cur"), F.lit("\n"), x))
-                    .alias("cur"),
+                    joined(acc, x).alias("cur"),
+                    (
+                        acc.getField("n") + 1
+                        if max_lines is None
+                        else F.when(
+                            acc.getField("n") < max_lines, acc.getField("n") + 1
+                        ).otherwise(acc.getField("n"))
+                    ).alias("n"),
                 ),
             ).otherwise(
                 F.struct(
-                    F.array_append(
-                        acc.getField("events"),
-                        F.when(acc.getField("cur").isNull(), x).otherwise(
-                            F.concat(acc.getField("cur"), F.lit("\n"), x)
-                        ),
-                    ).alias("events"),
+                    F.array_append(acc.getField("events"), joined(acc, x)).alias(
+                        "events"
+                    ),
                     F.lit(None).cast("string").alias("cur"),
+                    F.lit(0).alias("n"),
                 )
             ),
             lambda acc: F.when(
@@ -517,10 +750,13 @@ def explode_multiline(
     df: DataFrame, text_col: str = "text", out_col: str = "event_text",
     continuation: str = DEFAULT_CONTINUATION,
     negate: bool = False, match: str = "after",
+    max_lines: int | None = None, flush_pattern: str | None = None,
 ) -> DataFrame:
     """pages → one row per logical event, event index preserved (the
     harvester emitting events per file, filebeat/main.go:27-30)."""
-    events = multiline_join(text_col, continuation, negate, match)
+    events = multiline_join(
+        text_col, continuation, negate, match, max_lines, flush_pattern
+    )
     return df.select(
         "*", F.posexplode(events).alias("event_idx", out_col)
     )

@@ -11,6 +11,7 @@ input size / target partition bytes).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -33,6 +34,12 @@ def task_retry_conf(max_retries: int) -> dict[str, str]:
     Must be applied at SparkContext creation (it is a core scheduler conf —
     a running session ignores it): pass via ``get_spark(max_retries=...)``
     or spark-submit ``--conf``.
+
+    Local-mode caveat: a bare ``local[N]`` master hardcodes maxFailures=1
+    and IGNORES this conf — retries only exist locally under the
+    ``local[N,F]`` master form. ``get_spark`` handles that rewrite itself;
+    anything else launching local masters must use ``local[N,F]`` directly
+    (spark-submit --master "local[8,21]").
     """
     return {"spark.task.maxFailures": str(max(0, max_retries) + 1)}
 
@@ -56,9 +63,10 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # match parallelism on local[N]; a real deployment sizes this from
-        # input bytes / spark.sql.files.maxPartitionBytes.
-        n = master.split("[")[-1].rstrip("]")
-        shuffle_partitions = 32 if n in ("*", "") else max(int(n), 4)
+        # input bytes / spark.sql.files.maxPartitionBytes. Non-local masters
+        # (and local[*]) keep Spark's cluster default.
+        m = re.fullmatch(r"local\[(\d+)(?:,\d+)?\]", master)
+        shuffle_partitions = max(int(m.group(1)), 4) if m else 200
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -97,6 +105,12 @@ def get_spark(
     if max_retries is not None:
         for k, v in task_retry_conf(max_retries).items():
             builder = builder.config(k, v)
+        # local[N] ignores spark.task.maxFailures (hardcoded 1); the retry
+        # budget only takes effect locally via the local[N,F] master form
+        attempts = max(0, max_retries) + 1
+        m = re.fullmatch(r"local\[([^\],]+)\]", master)
+        if m:
+            builder = builder.master(f"local[{m.group(1)},{attempts}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

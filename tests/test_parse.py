@@ -399,7 +399,7 @@ def test_dissect_modifiers_skip_and_append(spark):
 
     d = compile_dissect("%{date} %{+date} %{?junk} %{} %{rest}", append_separator=" ")
     assert d.fields == ("date", "rest")
-    assert [k for k, _ in d.tokens] == ["field", "append", "skip", "skip", "field"]
+    assert [k for k, _, _ in d.tokens] == ["field", "append", "skip", "skip", "field"]
     df = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00 pid=7 INFO all good"), (2, "too few")],
         "i long, t string",
@@ -433,3 +433,171 @@ def test_dissect_native_semantics(spark):
     assert rows[2] is None
     assert tuple(rows[3]) == ("", "leading", "space x")
     assert tuple(rows[4]) == ("a", "b", "c\nd e")
+
+
+# ---------------------------------------------------------------------------
+# round 3: multiline guards, dissect padding/pairs, grok composites
+# ---------------------------------------------------------------------------
+
+
+def _py_multiline_after(text, cont_re, max_lines=None, flush=None):
+    """Single-threaded reference for the guarded after-mode fold."""
+    import re as _re
+
+    cont = _re.compile(cont_re)
+    flush_p = _re.compile(flush) if flush else None
+    events, cur, n = [], None, 0
+    for line in text.split("\n"):
+        if cur is not None and cont.search(line):
+            if max_lines is None or n < max_lines:
+                cur = cur + "\n" + line
+                n += 1
+        else:
+            if cur is not None:
+                events.append(cur)
+            cur, n = line, 1
+        if flush_p is not None and flush_p.search(line):
+            events.append(cur)
+            cur, n = None, 0
+    if cur is not None:
+        events.append(cur)
+    return events
+
+
+def test_multiline_max_lines_truncates_without_splitting(spark):
+    # 1 start + 5 continuations; max_lines=3 keeps the first 3 lines and
+    # DISCARDS the rest (Beats truncation) — no second event appears
+    text = "start\n c1\n c2\n c3\n c4\nnext"
+    df = spark.createDataFrame([(text,)], ["text"])
+    events = df.select(
+        multiline_join("text", max_lines=3).alias("e")
+    ).first().e
+    assert events == ["start\n c1\n c2", "next"]
+
+
+def test_multiline_flush_pattern_closes_event(spark):
+    # the END line flushes its event; the following continuation has no open
+    # event so it starts its own (same as a leading continuation)
+    text = "begin\n step\n END\n orphan\nnext"
+    df = spark.createDataFrame([(text,)], ["text"])
+    events = df.select(
+        multiline_join("text", flush_pattern="END").alias("e")
+    ).first().e
+    assert events == ["begin\n step\n END", " orphan", "next"]
+
+
+def test_multiline_guards_match_reference_fold(spark):
+    texts = [
+        "a\n b\n c\n d",
+        "x\n 1\n 2\n 3\n 4\n 5\ny\n z",
+        "only",
+        "",
+        " lead\n more\nreal",
+        "e\n END\n after\n END2\nf",
+        "a\n\nb\n c\n",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for ml, fl in ((2, None), (None, "END"), (2, "END"), (1, None)):
+        got = [
+            r.e
+            for r in df.select(
+                multiline_join("text", max_lines=ml, flush_pattern=fl).alias("e")
+            ).collect()
+        ]
+        want = [_py_multiline_after(t, r"^\s", ml, fl) for t in texts]
+        assert got == want, (ml, fl, got, want)
+
+
+def test_multiline_before_mode_max_lines(spark):
+    # before-mode: '\' continues; cap at 2 lines per event
+    text = "a\\\nb\\\nc\\\nd\ne"
+    df = spark.createDataFrame([(text,)], ["text"])
+    events = df.select(
+        multiline_join("text", r"\\$", match="before", max_lines=2).alias("e")
+    ).first().e
+    # a\,b\ kept; c\ discarded; d terminates; e is its own event
+    assert events == ["a\\\nb\\", "e"]
+
+
+def test_multiline_guard_validation():
+    with pytest.raises(ValueError):
+        multiline_join("text", max_lines=0)
+    with pytest.raises(ValueError):
+        multiline_join("text", match="before", flush_pattern="x")
+    with pytest.raises(Exception):
+        multiline_join("text", flush_pattern="(unclosed")
+
+
+def test_dissect_padding_skips_repeated_delimiter(spark):
+    from logsight_filebeat_spark.operators.parse import compile_dissect, with_dissect
+
+    d = compile_dissect("%{ts->} %{level} %{msg}")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01   INFO all good"), (2, "t INFO x")],
+        "i long, t string",
+    )
+    rows = {r.i: r.parsed for r in with_dissect(df, "t", d).collect()}
+    assert tuple(rows[1]) == ("2024-01-01", "INFO", "all good")
+    assert tuple(rows[2]) == ("t", "INFO", "x")  # single delimiter unaffected
+
+
+def test_dissect_reference_pairs_emit_map(spark):
+    from logsight_filebeat_spark.operators.parse import (
+        PAIRS_FIELD,
+        compile_dissect,
+        with_dissect,
+    )
+
+    d = compile_dissect("%{*k1}=%{&k1} %{*k2}=%{&k2} %{rest}")
+    assert d.fields == ("rest", PAIRS_FIELD)
+    df = spark.createDataFrame([(1, "host=web-01 port=443 tail")], "i long, t string")
+    [r] = with_dissect(df, "t", d).collect()
+    assert r.parsed.rest == "tail"
+    assert dict(r.parsed[PAIRS_FIELD]) == {"host": "web-01", "port": "443"}
+
+
+def test_dissect_new_modifier_validation():
+    from logsight_filebeat_spark.operators.parse import compile_dissect
+
+    for bad in (
+        "%{*k} %{rest}",          # key without value
+        "%{&k} %{rest}",          # value without key
+        "%{*k} %{&k} %{*k} %{&x}",  # repeated key, mismatched names
+        "%{+x/2} %{x}",           # ordered append unsupported
+    ):
+        with pytest.raises(ValueError):
+            compile_dissect(bad)
+
+
+def test_grok_composite_combinedapachelog(spark):
+    line = (
+        '203.0.113.9 - alice [10/Oct/2000:13:55:36 -0700] '
+        '"GET /index.html HTTP/1.1" 200 5120 "http://ref.example/" "curl/8.0"'
+    )
+    g = compile_grok("%{COMBINEDAPACHELOG}")
+    assert g.arrow_re2  # composite stays on the RE2-in-C path
+    df = spark.createDataFrame([(line,), ("not an access log",)], ["t"])
+    from logsight_filebeat_spark.operators.parse import (
+        with_grok_native,
+        with_grok_vectorized,
+    )
+
+    nat = with_grok_native(df, "t", g).collect()
+    vec = with_grok_vectorized(df, "t", g).collect()
+    assert [r.parsed for r in nat] == [r.parsed for r in vec]
+    ok = next(r.parsed for r in nat if r.parsed is not None)
+    assert ok.clientip == "203.0.113.9"
+    assert ok.verb == "GET" and ok.request == "/index.html"
+    assert ok.response == "200" and ok.bytes == "5120"
+    assert ok.agent == '"curl/8.0"'
+    assert sum(1 for r in nat if r.parsed is None) == 1
+
+
+def test_grok_duplicate_field_in_one_pattern_errors():
+    with pytest.raises(ValueError):
+        compile_grok("%{WORD:x} %{WORD:x}")
+
+
+def test_grok_cyclic_vocab_errors():
+    with pytest.raises(ValueError):
+        compile_grok("%{A:a}", extra_patterns={"A": "%{B}", "B": "%{A}"})

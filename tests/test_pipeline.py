@@ -179,6 +179,51 @@ def test_task_retry_conf_maps_budget_to_attempts():
     }
 
 
+def test_get_spark_rewrites_local_master_for_retries():
+    """local[N] hardcodes maxFailures=1 and ignores spark.task.maxFailures;
+    get_spark must emit the local[N,F] master form so the retry budget
+    exists in local runs too. Assert on the builder's staged options (no
+    new JVM: the shared session fixture must stay the active context)."""
+    from logsight_filebeat_spark.session import get_spark
+
+    import pyspark.sql.session as _s
+
+    staged: dict[str, str] = {}
+
+    class FakeBuilder:
+        def appName(self, *_a):
+            return self
+
+        def master(self, m):
+            staged["master"] = m
+            return self
+
+        def config(self, k, v):
+            staged[k] = v
+            return self
+
+        def getOrCreate(self):
+            return staged
+
+    orig = _s.SparkSession.builder
+    try:
+        _s.SparkSession.builder = FakeBuilder()  # type: ignore[assignment]
+        out = get_spark(master="local[4]", max_retries=20)
+    finally:
+        _s.SparkSession.builder = orig
+    assert out["master"] == "local[4,21]"
+    assert out["spark.task.maxFailures"] == "21"
+    # non-local masters keep the conf only (cluster scheduler honors it)
+    staged.clear()
+    try:
+        _s.SparkSession.builder = FakeBuilder()  # type: ignore[assignment]
+        out = get_spark(master="spark://host:7077", max_retries=2)
+    finally:
+        _s.SparkSession.builder = orig
+    assert out["master"] == "spark://host:7077"
+    assert out["spark.task.maxFailures"] == "3"
+
+
 def test_read_receipts_lenient_on_missing_and_corrupt(plan, spark, tmp_path):
     """Reference parity (plugin/api/log_test.go:332-337): delivered batch +
     unreadable receipt = success with nil receipt, never an error. Here: a
