@@ -65,6 +65,15 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 CHILD_MEM = os.environ.get("SPARK_GRAFT_CHILD_MEM", "12g")
 
+# Scaling levels derived from the box, not hardcoded: on the reference 32-cpu
+# VM this is the documented [2, 8, 2, 32]; on a smaller host the levels clamp
+# (taskset -c 0-31 on a 16-cpu host would fail the child outright) and the
+# secondary pair drops out when it would degenerate to lo == hi.
+NCPU = os.cpu_count() or CPUS
+LEVEL_LO = 2
+LEVEL_MID = min(8, NCPU)  # official N -> 4N pair is (LO, MID)
+LEVEL_HI = min(32, NCPU)  # secondary saturation level (headline eps)
+
 # pages per unit scale factor: sf0.1 → 200k pages (~300k logical events)
 PAGES_PER_SF = 2_000_000
 
@@ -153,7 +162,12 @@ def _pinned_pipeline_run(cores: int, pages_path: str, runs: int = RUNS) -> list[
     if shutil.which("taskset") is None:
         cmd = cmd[3:]  # degrade gracefully: unpinned child
     env = dict(os.environ, SPARK_DRIVER_MEM=CHILD_MEM)
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if out.returncode != 0:
+        tail = "\n".join(out.stderr.strip().splitlines()[-5:])
+        raise RuntimeError(
+            f"pipeline child local[{cores}] exited {out.returncode}: {tail}"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -321,8 +335,9 @@ def main() -> None:
         # (pure-CPU, ~25 s total).
         ceil_o = ceil_s = None
         if RUN_SCALING:
-            ceil_o = _cpu_ceiling(2, 8)
-            ceil_s = _cpu_ceiling(8, 32)
+            ceil_o = _cpu_ceiling(LEVEL_LO, LEVEL_MID)
+            if LEVEL_HI > LEVEL_MID:
+                ceil_s = _cpu_ceiling(LEVEL_MID, LEVEL_HI)
             phase("cpu ceilings measured")
 
         # pipeline throughput at pinned parallelism levels over the same
@@ -334,7 +349,12 @@ def main() -> None:
         # hi level sits BETWEEN the two long lo windows; efficiency uses
         # best-per-level across children and is recomputed after every
         # child, so truncation keeps the latest complete pair.
-        order = [2, 8, 2, 32] if RUN_SCALING else [CPUS]
+        order = (
+            [LEVEL_LO, LEVEL_MID, LEVEL_LO]
+            + ([LEVEL_HI] if LEVEL_HI > LEVEL_MID else [])
+            if RUN_SCALING
+            else [min(CPUS, NCPU)]
+        )
 
         def pair(lo: int, hi: int, best: dict) -> dict:
             eff = (facts["events"] / best[hi]) / (
@@ -352,9 +372,9 @@ def main() -> None:
 
         def build_scaling() -> dict | None:
             best = {c: min(ts) for c, ts in all_runs.items()}
-            if not (2 in best and 8 in best):
+            if not (LEVEL_LO in best and LEVEL_MID in best):
                 return None
-            official = pair(2, 8, best)
+            official = pair(LEVEL_LO, LEVEL_MID, best)
             out = {
                 **official,  # the N → 4N gate pair
                 "cpu_ceiling_2_8": ceil_o,
@@ -374,8 +394,8 @@ def main() -> None:
                     "the saturation end of the same curve"
                 ),
             }
-            if 32 in best:
-                secondary = pair(8, 32, best)
+            if LEVEL_HI > LEVEL_MID and LEVEL_HI in best and ceil_s:
+                secondary = pair(LEVEL_MID, LEVEL_HI, best)
                 out["secondary_8_32"] = {
                     **secondary,
                     "cpu_ceiling_8_32": ceil_s,
@@ -388,10 +408,16 @@ def main() -> None:
 
         for cores in order:
             # the 2-core children are the wall-clock hogs AND have the
-            # tightest run-to-run spread: 2 timed draws each suffice
-            runs = _pinned_pipeline_run(
-                cores, pages_path, runs=2 if cores == 2 else RUNS
-            )
+            # tightest run-to-run spread: 2 timed draws each suffice.
+            # One failed child (OOM, taskset mishap) degrades to a partial
+            # artifact — it must not abort the whole bench.
+            try:
+                runs = _pinned_pipeline_run(
+                    cores, pages_path, runs=2 if cores == LEVEL_LO else RUNS
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] {e}; skipping level", file=sys.stderr)
+                continue
             all_runs.setdefault(cores, []).extend(runs)
             phase(f"child local[{cores}] done")
             print(
