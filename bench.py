@@ -391,7 +391,10 @@ def main() -> None:
                     "ceiling_efficiency is the max ANY perfectly-parallel "
                     "workload can score here; efficiency_vs_ceiling is the "
                     "pipeline's share of that achievable maximum. 8->32 is "
-                    "the saturation end of the same curve"
+                    "the saturation end of the same curve; its residual is "
+                    "decomposed in BASELINE.md (tools/profile_saturation.py: "
+                    "~2/3 memory-system cycle inflation, ~1/3 thread idle, "
+                    "GC <5% — no Spark config recovers it on one bus)"
                 ),
             }
             if LEVEL_HI > LEVEL_MID and LEVEL_HI in best and ceil_s:

@@ -123,3 +123,86 @@ def fingerprint(col: Column | str) -> Column:
         F.array_sort(F.array_distinct(F.transform(tokens(c), F.lower))), " "
     )
     return md5_hex(canon)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter signals (public heuristics from Rae et al.
+# 2021, "Scaling Language Models" Appendix A) — pure Columns, zero shuffle
+# ---------------------------------------------------------------------------
+
+def _lines(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, "\n")
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """(# count + ellipsis count) per word — boilerplate/spam signal."""
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    ellipses = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / 3 + (F.length(c) - F.length(F.regexp_replace(c, "…", "")))
+    return F.round(
+        (hashes + ellipses) / F.greatest(F.size(tokens(c)), F.lit(1)), 6
+    )
+
+
+def bullet_line_frac(col: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    lines = _lines(col)
+    n = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    return F.round(n / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def ellipsis_line_frac(col: Column | str) -> Column:
+    """Fraction of lines ending in an ellipsis (truncated boilerplate)."""
+    lines = _lines(col)
+    n = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    return F.round(n / F.greatest(F.size(lines), F.lit(1)), 6)
+
+
+def alpha_word_frac(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one alphabetic character."""
+    toks = tokens(col)
+    n = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    return F.round(n / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def distinct_stopword_count(col: Column | str, stopwords=STOPWORDS) -> Column:
+    """How many DISTINCT stopwords appear (Gopher requires ≥ 2 — a document
+    with language-like function-word variety, not one repeated token)."""
+    toks = F.transform(tokens(col), F.lower)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ).cast("bigint")
+
+
+def gopher_pass(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    stopwords=STOPWORDS,
+) -> Column:
+    """The composed Gopher quality gate as one boolean Column. Thresholds
+    default to the published values; callers tune per corpus."""
+    ntok = token_count(col)
+    awl = avg_token_length(col)
+    return (
+        (ntok >= min_words)
+        & (ntok <= max_words)
+        & (awl >= min_mean_word_len)
+        & (awl <= max_mean_word_len)
+        & (symbol_word_ratio(col) < max_symbol_word_ratio)
+        & (bullet_line_frac(col) < max_bullet_line_frac)
+        & (ellipsis_line_frac(col) < max_ellipsis_line_frac)
+        & (alpha_word_frac(col) > min_alpha_word_frac)
+        & (distinct_stopword_count(col, stopwords) >= min_distinct_stopwords)
+    )

@@ -425,3 +425,102 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated token windows)
+# ---------------------------------------------------------------------------
+
+def substring_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 20,
+) -> DataFrame:
+    """(id, pos, win_hash): md5 of every ``width``-token rolling window,
+    position-indexed (pos is 0-based token offset) so callers can mask or
+    cut the duplicated span, not just flag the doc. Case-preserving and
+    NOT distinct — exact substring dedup cares about verbatim repeats.
+
+    This is the distributed-join formulation of exact substring dedup
+    (the operation popularized for LLM training corpora by Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which uses
+    a suffix array on one node): rolling window hashes explode to one row
+    per token position — O(total corpus tokens) rows, the same order as a
+    shingle inverted index — and every downstream step is a hash
+    aggregate / equi-join on the 128-bit window hash. No suffix array, no
+    single-node structure, nothing quadratic."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    d = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    idx = F.sequence(F.lit(1), F.size("t") - (width - 1))
+    wins = F.when(
+        F.size("t") >= width,
+        F.transform(
+            idx, lambda i: md5_hex(F.array_join(F.slice("t", i, width), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("id", F.posexplode(wins).alias("pos", "win_hash"))
+
+
+def duplicated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Window hashes appearing in ≥ ``min_docs`` DISTINCT docs:
+    (win_hash, n_docs). One explode + one hash aggregate."""
+    w = substring_windows(df, text_col, id_col, width)
+    return (
+        w.groupBy("win_hash")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 20,
+) -> DataFrame:
+    """Per-doc duplicated-substring exposure: (id, n_windows, dup_windows,
+    dup_ratio) where dup_windows counts this doc's window POSITIONS whose
+    window also occurs in another doc — the mass a span-cutting pass would
+    remove. Docs shorter than ``width`` tokens have n_windows = 0 and ratio
+    0.0 (nothing to deduplicate at this granularity).
+
+    Shape: windows persisted once, feeding (a) the duplicated-hash aggregate
+    and (b) the join-back — both shuffle on win_hash; per-doc counts are one
+    more hash aggregate on id. Caller releases the tracked persist."""
+    w = track_persist(substring_windows(df, text_col, id_col, width))
+    dup = (
+        w.groupBy("win_hash")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("win_hash")
+    )
+    per_doc = w.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        w.join(dup, ["win_hash"], "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dup_windows"))
+    )
+    base = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        base.join(per_doc, ["id"], "left")
+        .join(dup_per_doc, ["id"], "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

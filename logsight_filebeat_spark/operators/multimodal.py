@@ -104,3 +104,68 @@ def frame_sample_indices(n_frames: Column | str, every: int = 10) -> Column:
     return F.sequence(
         F.lit(0), F.greatest(c - 1, F.lit(0)), F.lit(every)
     )
+
+
+FEATURES_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("bucket_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def with_byte_histogram(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out: str = "feat",
+    buckets: int = 16,
+) -> DataFrame:
+    """REAL (non-stubbed) feature extraction from a binary column: the
+    normalized byte-value histogram — the classic content-type /
+    entropy-ish signature used for file-type classification and cheap
+    near-dup blocking of media payloads. numpy over Arrow batches
+    (frombuffer + bincount, no per-byte Python), payload dropped on
+    output so only the fixed-width feature crosses any shuffle.
+
+    Emits raw integer ``bucket_counts`` (byte >> 4 for 16 buckets) plus
+    ``n_bytes``; callers normalize with :func:`histogram_features` —
+    keeping the Python hop integer-only makes the result bit-portable to
+    any re-derivation (no float rounding inside the UDF)."""
+    if 256 % buckets:
+        raise ValueError(f"buckets must divide 256, got {buckets}")
+    shift = (256 // buckets).bit_length() - 1  # byte >> shift → bucket
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [T.StructField(out, FEATURES_RAW_SCHEMA)]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                if p is None or len(p) == 0:
+                    feats.append({"n_bytes": 0, "bucket_counts": [0] * buckets})
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                counts = np.bincount(arr >> shift, minlength=buckets)
+                feats.append(
+                    {"n_bytes": len(arr), "bucket_counts": counts.tolist()}
+                )
+            pdf = pdf.drop(columns=[payload_col])
+            pdf[out] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def histogram_features(feat: Column | str, decimals: int = 6) -> Column:
+    """Normalize raw bucket counts to frequencies (array<double>) in pure
+    Columns — rounding happens JVM-side so Spark and any SQL oracle share
+    one rounding rule."""
+    c = F.col(feat) if isinstance(feat, str) else feat
+    n = F.greatest(c.getField("n_bytes"), F.lit(1))
+    return F.transform(
+        c.getField("bucket_counts"), lambda x: F.round(x / n, decimals)
+    )

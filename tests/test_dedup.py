@@ -210,6 +210,30 @@ def test_curate_corpus_chain(spark):
     release_persisted()
 
 
+def test_substring_dup_stats(spark):
+    """Docs sharing a verbatim width-token run are flagged position-exactly;
+    short docs have zero windows; unrelated docs have zero dup windows."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.dedup import substring_dup_stats
+
+    shared = "one two three four"  # width=4 → exactly this window is shared
+    rows = [
+        (1, "intro " + shared + " tail1 tail2"),
+        (2, "other lead-in words " + shared),
+        (3, "completely different words that never repeat anywhere else"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in substring_dup_stats(df, width=4).collect()}
+    release_persisted()
+    # doc1: 7 tokens → 4 windows; the shared run starts at pos 1
+    assert got[1].n_windows == 4 and got[1].dup_windows == 1
+    # doc2: 7 tokens → 4 windows; shared run at the end
+    assert got[2].n_windows == 4 and got[2].dup_windows == 1
+    assert got[3].dup_windows == 0 and got[3].n_windows > 0
+    assert got[4].n_windows == 0 and got[4].dup_ratio == 0.0
+
+
 def test_connected_components_exact_min_id(spark):
     """Min-label propagation finds the exact component minimum, including
     across transitive links that the greedy rule cannot see: the path

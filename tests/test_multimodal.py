@@ -52,3 +52,35 @@ def test_frame_sample_indices(spark):
     assert vals[0] == [0, 10, 20]
     assert vals[1] == [0]
     assert vals[2] == [0]
+
+
+def test_byte_histogram_features(spark):
+    """Known payloads produce exact bucket counts; normalization and empty
+    payloads behave; payload column is dropped before anything shuffles."""
+    from logsight_filebeat_spark.operators.multimodal import (
+        histogram_features,
+        with_byte_histogram,
+    )
+
+    rows = [
+        (1, bytes([0x00, 0x01, 0x0F, 0xFF])),  # 3× bucket 0, 1× bucket 15
+        (2, b""),
+        (3, None),
+        (4, bytes(range(256))),  # uniform: 16 per bucket
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = with_byte_histogram(df)
+    assert "payload" not in out.columns
+    got = {
+        r.doc_id: r
+        for r in out.select(
+            "doc_id", "feat.*", histogram_features("feat").alias("probs")
+        ).collect()
+    }
+    assert got[1].n_bytes == 4
+    assert got[1].bucket_counts[0] == 3 and got[1].bucket_counts[15] == 1
+    assert got[1].probs[0] == 0.75 and got[1].probs[15] == 0.25
+    assert got[2].n_bytes == 0 and sum(got[2].bucket_counts) == 0
+    assert got[3].n_bytes == 0
+    assert got[4].bucket_counts == [16] * 16
+    assert all(p == 0.0625 for p in got[4].probs)

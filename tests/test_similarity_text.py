@@ -237,3 +237,38 @@ def test_fingerprint_order_insensitive(spark):
     rows = {r.doc_id: r.fp for r in df.select("doc_id", tx.fingerprint("text").alias("fp")).collect()}
     assert rows[1] == rows[2]  # order + case insensitive
     assert rows[1] != rows[3]
+
+
+def test_gopher_signals_and_gate(spark):
+    """Each Gopher signal fires on its designed pathology; the composed
+    gate passes a normal paragraph and rejects each pathology."""
+    good = ("the quick brown fox jumps over a lazy dog and runs into the "
+            "green field where it rests in the warm sun of a summer day "
+            "and then it is off again to explore the wide world")
+    rows = [
+        (1, good),
+        (2, "- one\n- two\n- three\n- four"),            # bullets
+        (3, "read more... see more... click here... and..."),  # ellipses
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 "
+            "24 25 26 27 28 29 30 31 32 33 34 35 36 37 38 39 40 41 42 43 "
+            "44 45 46 47 48 49 50"),                      # no alpha words
+        (5, "#### #### #### " + good),                   # symbol-heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            tx.bullet_line_frac("text").alias("bullet"),
+            tx.ellipsis_line_frac("text").alias("ellipsis"),
+            tx.alpha_word_frac("text").alias("alpha"),
+            tx.symbol_word_ratio("text").alias("symbol"),
+            tx.distinct_stopword_count("text").alias("stops"),
+            tx.gopher_pass("text", min_words=20).alias("passes"),
+        ).collect()
+    }
+    assert got[1].passes and got[1].stops >= 2
+    assert got[2].bullet == 1.0 and not got[2].passes
+    assert got[3].ellipsis == 1.0 and not got[3].passes
+    assert got[4].alpha == 0.0 and not got[4].passes
+    assert got[5].symbol > 0.1 and not got[5].passes
