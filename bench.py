@@ -238,13 +238,18 @@ CORPUS_QUERIES = (
     "dd_simhash",
     "dd_embed_lsh",
     "dd_curation",
+    "dd_substring",
     "tx_stats",
+    "tx_gopher",
+    "tx_repetition",
     "tx_fingerprint",
     "ann_brute_topk",
     "ann_srp_candidates",
     "ann_srp_multiprobe",
     "ann_ivf_topk",
+    "ann_quantize",
     "mm_media_meta",
+    "mm_features",
 )
 
 

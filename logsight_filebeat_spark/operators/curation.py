@@ -143,3 +143,96 @@ def curation_report(curated: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 Appendix A), the
+    shuffle-safe way: (id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_ngram, top_ngram_char_frac).
+
+      * dup_line_frac       — fraction of line INSTANCES whose line text
+                              occurs more than once in the doc
+      * dup_line_char_frac  — fraction of line characters in those lines
+      * top_ngram_char_frac — chars covered by the most frequent word
+                              n-gram (count × gram length / doc length);
+                              ties broken by the lexicographically largest
+                              gram so both engines agree deterministically
+
+    Shape: lines and n-grams explode to O(doc tokens) rows and everything
+    after is hash aggregates keyed on (id, line|gram) then id — no windows,
+    no joins back to the text, safe for pathological million-line docs
+    that would make the per-row array-expression form O(n²)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars"),
+        F.split(text_col, "\n").alias("lines"),
+        toks.alias("toks"),
+    )
+    lines = base.select("id", F.explode("lines").alias("line"))
+    line_counts = lines.groupBy("id", "line").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    line_agg = line_counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_lines"
+        ),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (ngram_n - 1))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= ngram_n,
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice("toks", i, ngram_n), " ")
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top_gram = (
+        grams.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(F.max(F.struct("cnt", "gram")).alias("top"))
+        .select(
+            "id",
+            F.col("top.gram").alias("top_ngram"),
+            F.col("top.cnt").alias("top_cnt"),
+        )
+    )
+    return (
+        base.select("id", "n_chars")
+        .join(line_agg, ["id"], "left")
+        .join(top_gram, ["id"], "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.coalesce("dup_lines", F.lit(0))
+                / F.greatest(F.coalesce("n_lines", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce("dup_line_chars", F.lit(0))
+                / F.greatest(F.coalesce("line_chars", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+            F.round(
+                F.coalesce(F.col("top_cnt") * F.length("top_ngram"), F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("top_ngram_char_frac"),
+        )
+    )

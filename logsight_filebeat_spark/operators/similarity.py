@@ -452,3 +452,43 @@ def srp_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8 embedding compression)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization: scale = max|v| / (2^(b-1)-1),
+    q_i = round(v_i / scale) — the standard int8 embedding compression (4×
+    smaller storage + faster integer distance kernels). Pure Columns inside
+    the scan stage; returns (id, scale, q) — plus the original vector as
+    ``orig`` when ``keep_vec`` (fidelity checks in the same projection, no
+    join back). Zero vectors quantize to zeros with scale 0. Dequantize with
+    :func:`dequantize_embeddings`; round-trip error per element ≤ scale/2."""
+    levels = 2 ** (bits - 1) - 1
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, F.abs)) / levels
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    cols = [F.col(id_col).alias("id"), scale.alias("scale"), q.alias("q")]
+    if keep_vec:
+        cols.append(v.alias("orig"))
+    return df.select(*cols)
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale", out: str = "v"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: v_i ≈ q_i × scale."""
+    return df.withColumn(
+        out, F.transform(F.col(q_col), lambda x: x * F.col(scale_col))
+    )

@@ -300,3 +300,23 @@ def test_embedding_near_dups(spark):
     pairs = {(r.id_a, r.id_b): r.cosine for r in dedup.embedding_near_dups(df, threshold=0.95).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.999
+
+
+def test_repetition_stats(spark):
+    """Repeated lines and the dominant bigram are measured exactly."""
+    from logsight_filebeat_spark.operators.curation import repetition_stats
+
+    text1 = "same line\nsame line\nunique one\nanother line"  # 4 lines, 2 dup
+    text2 = "go go go go stop"  # top bigram "go go" ×3
+    df = spark.createDataFrame(
+        [(1, text1), (2, text2)], "doc_id bigint, text string"
+    )
+    got = {r.id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_lines == 4
+    assert got[1].dup_line_frac == 0.5
+    # dup chars: 2×9 of (9+9+10+12)=40 line chars
+    assert got[1].dup_line_char_frac == round(18 / 40, 6)
+    assert got[2].top_ngram == "go go"
+    # 3 × len("go go")=5 over len(text2)=16
+    assert got[2].top_ngram_char_frac == round(15 / 16, 6)
+    assert got[2].dup_line_frac == 0.0

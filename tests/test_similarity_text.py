@@ -272,3 +272,26 @@ def test_gopher_signals_and_gate(spark):
     assert got[3].ellipsis == 1.0 and not got[3].passes
     assert got[4].alpha == 0.0 and not got[4].passes
     assert got[5].symbol > 0.1 and not got[5].passes
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    """int8 quantization: codes within [-127,127], per-element round-trip
+    error ≤ scale/2, zero vectors stay zero with scale 0."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [3.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.id: r
+        for r in sim.dequantize_embeddings(
+            sim.quantize_embeddings(df, keep_vec=True)
+        ).collect()
+    }
+    for rid, r in out.items():
+        assert all(-127 <= c <= 127 for c in r.q)
+        for orig, deq in zip(r.orig, r.v):
+            assert abs(orig - deq) <= r.scale / 2 + 1e-12
+    assert out[2].scale == 0.0 and out[2].q == [0, 0, 0]
+    assert out[3].q == [127]  # max element always hits full scale
