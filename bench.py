@@ -210,11 +210,18 @@ def _cpu_ceiling(lo: int, hi: int, work: int = 30_000_000, reps: int = 3) -> dic
     overcommit), capping even embarrassingly-parallel scaling well below
     1.0 — pipeline efficiency must be read against this ceiling."""
     import multiprocessing as mp
+    import signal as _sig
+
+    # workers inherit main's SIGTERM handler (which raises); Pool.terminate
+    # SIGTERMs workers at __exit__, so restore the default in each worker or
+    # teardown prints spurious _BenchInterrupted tracebacks
+    def _worker_init() -> None:
+        _sig.signal(_sig.SIGTERM, _sig.SIG_DFL)
 
     walls = {}
     for procs in (lo, hi):
         best = float("inf")
-        with mp.Pool(procs) as pool:
+        with mp.Pool(procs, initializer=_worker_init) as pool:
             pool.map(_cpu_burn, [1_000] * procs)  # pool spin-up, untimed
             for _ in range(reps):
                 t0 = time.time()

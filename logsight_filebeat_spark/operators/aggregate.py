@@ -79,3 +79,44 @@ def receipts(routed: DataFrame, batch_id: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based sessionization with the stock session-window operator:
+    events of one key belong to one session while consecutive gaps are AT
+    MOST ``gap`` — an event exactly ``gap`` after the previous one still
+    MERGES (Spark's windows span [ts, ts+gap] for merging; pinned by
+    pytest and mirrored with `>` in the ev_sessions oracle). Returns one
+    row per (key, session): start/end event times, event count, summed
+    value.
+
+    Scale shape: groupBy(key, session_window) is one shuffle on key with
+    in-partition session merging — the same code runs unchanged under
+    Structured Streaming with a watermark, where the state store holds only
+    open sessions. No driver-side ordering, no global sort."""
+    aggs = [
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    out = (
+        df.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("last_ts").alias("session_end"),
+            "n_events",
+            *(["total_value"] if value_col is not None else []),
+        )
+    )
+    return out

@@ -74,3 +74,21 @@ def enrich_with_lookup(
     return joined.withColumn(tags_col, new_tags).drop(
         *[c for c in set(tag_cols.values()) if c in joined.columns and c not in df.columns]
     )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """C4-style domain blocklist filter: drop every row whose url host
+    appears in ``blocked`` — a broadcast LEFT ANTI join, so the corpus side
+    never shuffles and malformed urls (NULL host) survive the filter (a
+    NULL never equals a blocklist entry), matching the lenient treat-
+    unparseable-as-unblocked rule list-based web filters use."""
+    return df.join(
+        F.broadcast(blocked.select(F.col(host_col).alias("__blocked_host"))),
+        url_host(url_col) == F.col("__blocked_host"),
+        "left_anti",
+    )

@@ -105,3 +105,35 @@ def test_streaming_aggregates_shape(spark, tmp_path):
     )
     total = sum(r.event_count for r in rows)
     assert total == plan.mapped(pages(spark, 300, seed=7)).count()
+
+
+def test_sessionize_gap_rule(spark):
+    """Sessions split only on gaps STRICTLY over the gap duration; an
+    event exactly at the boundary still merges (pins Spark's inclusive
+    merge rule, which the ev_sessions oracle mirrors with `>`)."""
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.operators.aggregate import sessionize
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + 10 * m, 7, 2.0),        # 10 min gap → same session
+        (3, t0 + 45 * m, 7, 4.0),        # 35 min gap → new session
+        (4, t0, 9, 1.5),
+        (5, t0 + 30 * m, 9, 2.5),        # exactly 30 min → still merges
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = sorted(
+        sessionize(df, gap="30 minutes").collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+    assert [(r.user_id, r.n_events, r.total_value) for r in got] == [
+        (7, 2, 3.0),
+        (7, 1, 4.0),
+        (9, 2, 4.0),
+    ]
+    assert got[0].session_start == t0 and got[0].session_end == t0 + 10 * m
