@@ -175,3 +175,74 @@ def test_exact_dedup_is_two_hash_shuffles_not_a_sort(spark):
     # agg+semi-join shape hashes; a window implementation would sort
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_substring_dedup_plans_as_hash_aggregates_no_cartesian(spark):
+    """Substring dedup is explode → hash aggregate → equi-join; a cartesian
+    or a global sort here would be the 100TB regression."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.dedup import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 9, i % 9 + 20)))
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    plan = _formatted(substring_dup_stats(docs, width=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    release_persisted()
+
+
+def test_url_blocklist_filter_is_broadcast_anti_join(spark):
+    """The corpus side of the blocklist filter must never shuffle: plan is
+    one BroadcastHashJoin LeftAnti against the tiny blocklist."""
+    from logsight_filebeat_spark.operators.enrich import filter_blocked_hosts
+
+    pg = spark.read.parquet(PAGES)
+    blocked = spark.createDataFrame([("x.example.com",)], "host string")
+    plan = _formatted(filter_blocked_hosts(pg, blocked))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_sessionize_shuffles_once_on_key_no_global_sort(spark):
+    """Session windows aggregate per key: exactly the key-hash exchanges of
+    a grouped aggregate, never a global (singlepartition) exchange."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import sessionize
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0), 7, 1.0)],
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+    )
+    plan = _formatted(sessionize(df))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_byte_histogram_is_single_python_stage(spark):
+    import re
+
+    from logsight_filebeat_spark.operators.multimodal import with_byte_histogram
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id bigint, payload binary")
+    plan = _formatted(with_byte_histogram(df))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+
+
+def test_quantize_is_join_free_projection(spark):
+    from logsight_filebeat_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -1.0])], "vec_id bigint, embedding array<double>"
+    )
+    plan = _formatted(dequantize_embeddings(quantize_embeddings(vecs, keep_vec=True)))
+    for marker in ("Join", "Exchange", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan, marker

@@ -137,3 +137,49 @@ def test_sessionize_gap_rule(spark):
         (9, 2, 4.0),
     ]
     assert got[0].session_start == t0 and got[0].session_end == t0 + 10 * m
+
+
+def test_running_totals_state_survives_micro_batches(spark, tmp_path):
+    """applyInPandasWithState per-key totals accumulate ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file) and the final running
+    total equals the global per-key count."""
+    from logsight_filebeat_spark.streaming.stateful import running_totals
+
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("auth", 10), ("search", 5)] * 3, "sink string, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    spark.createDataFrame(
+        [("auth", 7)] * 2, "sink string, n int"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("sink string, n int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = running_totals(stream, key_col="sink", bytes_col="n")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rt_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("rt_out").collect()
+    # at least two micro-batches touched 'auth'
+    auth = sorted(
+        (r for r in rows if r.sink == "auth"), key=lambda r: r.total_events
+    )
+    assert len(auth) >= 2
+    assert auth[-1].total_events == 5  # 3 + 2 events
+    assert auth[-1].total_bytes == 44  # 3×10 + 2×7
+    # totals are monotone across batches (state accumulated, not reset)
+    assert all(
+        a.total_events < b.total_events for a, b in zip(auth, auth[1:])
+    )
+    search = [r for r in rows if r.sink == "search"]
+    assert max(r.total_events for r in search) == 3
+    assert max(r.total_bytes for r in search) == 15
