@@ -320,3 +320,37 @@ def test_repetition_stats(spark):
     # 3 × len("go go")=5 over len(text2)=16
     assert got[2].top_ngram_char_frac == round(15 / 16, 6)
     assert got[2].dup_line_frac == 0.0
+
+
+def test_hash_sampling_deterministic_and_disjoint(spark):
+    """Hash sampling is stable under repartitioning; train/val splits are
+    disjoint and exhaustive; stratified fractions land near target."""
+    from logsight_filebeat_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+        train_val_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)],
+        "doc_id bigint, lang string",
+    )
+    s1 = {r.doc_id for r in hash_sample(df, fraction=0.2).collect()}
+    s2 = {r.doc_id for r in hash_sample(df.repartition(13), fraction=0.2).collect()}
+    assert s1 == s2  # partitioning-independent membership
+    assert 0.15 < len(s1) / 2000 < 0.25
+    # a smaller fraction of the same seed is a subset (nested samples)
+    s_small = {r.doc_id for r in hash_sample(df, fraction=0.05).collect()}
+    assert s_small <= s1
+
+    train, val = train_val_split(df, val_fraction=0.25)
+    t = {r.doc_id for r in train.collect()}
+    v = {r.doc_id for r in val.collect()}
+    assert t.isdisjoint(v) and len(t) + len(v) == 2000
+
+    strat = stratified_hash_sample(
+        df, "lang", {"de": 1.0, "en": 0.1}
+    ).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in strat}
+    assert counts["de"] == 1000  # fraction 1.0 keeps everything
+    assert 50 < counts.get("en", 0) < 200
