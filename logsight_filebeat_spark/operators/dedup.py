@@ -524,3 +524,39 @@ def substring_dup_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 20,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a verbatim
+    ``width``-token run with ANY benchmark doc — the overlap check LLM
+    pipelines run against eval sets before training. Returns
+    (id, n_windows, hit_windows, benchmark_docs) per CONTAMINATED corpus
+    doc: how many of its window positions match the benchmark, and how
+    many distinct benchmark docs it hits.
+
+    Shape: both sides explode to window hashes (O(tokens) rows) and meet
+    in one equi-join on the 128-bit hash — the benchmark side is typically
+    tiny (eval sets), so Catalyst broadcasts its distinct hash set and the
+    corpus side never shuffles."""
+    cw = substring_windows(corpus, text_col, id_col, width)
+    bw = substring_windows(benchmark, text_col, id_col, width).select(
+        F.col("win_hash"), F.col("id").alias("bench_id")
+    )
+    hits = (
+        cw.join(bw, ["win_hash"], "inner")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("pos").alias("hit_windows"),
+            F.count_distinct("bench_id").alias("benchmark_docs"),
+        )
+    )
+    totals = cw.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return hits.join(totals, ["id"], "inner").select(
+        "id", "n_windows", "hit_windows", "benchmark_docs"
+    )

@@ -354,3 +354,55 @@ def test_hash_sampling_deterministic_and_disjoint(spark):
     counts = {r.lang: r["count"] for r in strat}
     assert counts["de"] == 1000  # fraction 1.0 keeps everything
     assert 50 < counts.get("en", 0) < 200
+
+
+def test_prefix_sum_and_packing(spark):
+    """Two-phase distributed prefix sum equals the single-node cumsum, is
+    stable under repartitioning, and pack assignment fills contiguously."""
+    from logsight_filebeat_spark.operators.packing import (
+        pack_sequences,
+        with_prefix_sum,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    expect, acc = {}, 0
+    for i, n in rows:
+        expect[i] = acc
+        acc += n
+    for d in (df, df.repartition(11)):
+        got = {
+            r.doc_id: r.offset
+            for r in with_prefix_sum(d, bucket_size=16).collect()
+        }
+        assert got == expect
+    packs = pack_sequences(df, budget=50, bucket_size=16).collect()
+    by_id = sorted(packs, key=lambda r: r.doc_id)
+    assert by_id[0].pack_id == 0
+    assert all(r.pack_id == r.offset // 50 for r in by_id)
+    # pack ids are monotone in id order (contiguous fill)
+    assert all(
+        a.pack_id <= b.pack_id for a, b in zip(by_id, by_id[1:])
+    )
+
+
+def test_contamination_cross_table(spark):
+    """Corpus docs sharing a verbatim window with the benchmark are flagged
+    with exact window/bench-doc counts; clean docs are absent."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    shared = "alpha beta gamma delta"
+    corpus = _docs(spark, [
+        (1, "lead " + shared + " tail"),
+        (2, "totally unrelated corpus document text"),
+    ])
+    bench = _docs(spark, [
+        (100, shared + " with extra benchmark words"),
+        (101, "other benchmark entry " + shared),
+    ])
+    got = {r.id: r for r in dedup.contamination(corpus, bench, width=4).collect()}
+    release_persisted()
+    assert set(got) == {1}
+    assert got[1].hit_windows == 1       # one contaminated position
+    assert got[1].benchmark_docs == 2    # hits both benchmark docs
+    assert got[1].n_windows == 3         # 6 tokens, width 4

@@ -246,3 +246,15 @@ def test_quantize_is_join_free_projection(spark):
     plan = _formatted(dequantize_embeddings(quantize_embeddings(vecs, keep_vec=True)))
     for marker in ("Join", "Exchange", "MapInPandas", "BatchEvalPython"):
         assert marker not in plan, marker
+
+
+def test_prefix_sum_data_window_is_bucket_partitioned(spark):
+    """The data-side running sum must be partitioned by bucket; only the
+    tiny bucket-totals table may pass through a single partition."""
+    from logsight_filebeat_spark.operators.packing import with_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, 3) for i in range(100)], "doc_id bigint, n_tokens bigint"
+    )
+    plan = _formatted(with_prefix_sum(df, bucket_size=10))
+    assert "hashpartitioning(_bucket" in plan, plan
