@@ -98,3 +98,67 @@ def test_jaccard_pairs_bounded_and_exact(spark, texts):
         expected = round(len(a & b) / len(a | b), 6)
         assert r.jaccard == expected
         assert 0.0 <= r.jaccard <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# substring-window and prefix-sum invariants
+# ---------------------------------------------------------------------------
+
+word = st.text(
+    alphabet=st.sampled_from(list("abXY01.*()\\") + ["é"]), min_size=1, max_size=5
+)
+doc_words = st.lists(word, max_size=12).map(" ".join)
+
+
+def _windows_oracle(text: str, width: int) -> list[str]:
+    toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t != ""]
+    return [
+        " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+    ]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_words, min_size=1, max_size=10))
+def test_substring_windows_match_python_oracle(spark, texts):
+    """Every (pos, window) pair equals the single-threaded reimplementation
+    — adversarial whitespace/metacharacter/unicode tokens included."""
+    import hashlib
+
+    from logsight_filebeat_spark.operators.dedup import substring_windows
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r.id, r.pos): r.win_hash
+        for r in substring_windows(df, width=3).collect()
+    }
+    want = {
+        (i, p): hashlib.md5(w.encode()).hexdigest()
+        for i, t in enumerate(texts)
+        for p, w in enumerate(_windows_oracle(t, 3))
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=7),
+)
+def test_prefix_sum_matches_cumsum_any_bucket_size(spark, vals, bucket_size):
+    """The two-phase distributed scan equals the sequential cumsum for any
+    bucket size, including buckets of 1 and a single bucket."""
+    from logsight_filebeat_spark.operators.packing import with_prefix_sum
+
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    got = {
+        r.doc_id: r.offset
+        for r in with_prefix_sum(df, bucket_size=bucket_size).collect()
+    }
+    acc, want = 0, {}
+    for i, v in rows:
+        want[i] = acc
+        acc += v
+    assert got == want
