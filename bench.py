@@ -384,6 +384,10 @@ def main() -> None:
 
         def build_scaling() -> dict | None:
             best = {c: min(ts) for c, ts in all_runs.items()}
+            # a degenerate pair (lo == hi on a tiny host) would emit a
+            # trivially-1.0 "official" efficiency — refuse to fake the gate
+            if LEVEL_MID <= LEVEL_LO:
+                return None
             if not (LEVEL_LO in best and LEVEL_MID in best):
                 return None
             official = pair(LEVEL_LO, LEVEL_MID, best)
@@ -394,7 +398,11 @@ def main() -> None:
                     official["efficiency"] / ceil_o["ceiling_efficiency"], 3
                 ),
                 "note": (
-                    "official pair 2->8 pinned cores (N->4N): the regime "
+                    f"official pair {LEVEL_LO}->{LEVEL_MID} pinned cores "
+                    + ("(N->4N): " if LEVEL_MID == 4 * LEVEL_LO
+                       else "(CLAMPED by host cpu count - NOT the N->4N "
+                            "regime; interpret accordingly): ")
+                    + "the regime "
                     "where both levels run inside the box's headroom, the "
                     "faithful stand-in for per-executor resources on a real "
                     "cluster. cpu_ceiling_* is the same lo->hi efficiency "

@@ -72,6 +72,7 @@ def connected_components(
             "comp", F.col("id")
         )
     )
+    changed = 1
     for _ in range(max_iterations):
         msgs = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -90,6 +91,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partially-propagated labels would silently violate the
+        # "exactly the minimum id survives" contract (and diverge from the
+        # recursive-CTE oracle) on a component wider than max_iterations hops
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (component diameter exceeds it)"
+        )
     return labels
 
 
@@ -167,12 +176,11 @@ def repetition_stats(
     after is hash aggregates keyed on (id, line|gram) then id — no windows,
     no joins back to the text, safe for pathological million-line docs
     that would make the per-row array-expression form O(n²)."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
     base = df.select(
         F.col(id_col).alias("id"),
         F.length(text_col).alias("n_chars"),
         F.split(text_col, "\n").alias("lines"),
-        toks.alias("toks"),
+        tx.tokens(text_col).alias("toks"),
     )
     lines = base.select("id", F.explode("lines").alias("line"))
     line_counts = lines.groupBy("id", "line").agg(

@@ -450,10 +450,9 @@ def substring_windows(
     shingle inverted index — and every downstream step is a hash
     aggregate / equi-join on the 128-bit window hash. No suffix array, no
     single-node structure, nothing quadratic."""
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-    )
-    d = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    from logsight_filebeat_spark.functions.text import tokens
+
+    d = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
     idx = F.sequence(F.lit(1), F.size("t") - (width - 1))
     wins = F.when(
         F.size("t") >= width,

@@ -34,8 +34,12 @@ def with_prefix_sum(
 ) -> DataFrame:
     """Adds ``out`` = EXCLUSIVE prefix sum of ``val_col`` in ``id_col``
     order (each row's global starting offset), via the two-phase scan —
-    no unpartitioned window over the data table."""
-    bucket = (F.col(id_col) / bucket_size).cast("bigint").alias("_bucket")
+    no unpartitioned window over the data table. Ids must be non-negative
+    (integer ``div``; double division + bigint cast would lose exactness
+    past 2^53 and fold negative ids into double-width buckets)."""
+    bucket = F.expr(f"CAST(`{id_col}` DIV {bucket_size} AS BIGINT)").alias(
+        "_bucket"
+    )
     d = df.withColumn("_bucket", bucket)
     totals = d.groupBy("_bucket").agg(F.sum(val_col).alias("_bucket_total"))
     # window over the BUCKET table only — n_buckets rows, not the data
@@ -75,7 +79,7 @@ def pack_sequences(
     budget (contiguous fill in id order — a doc straddling a boundary
     belongs to the pack where its first token lands). Deterministic,
     rerun-stable, and engine-portable (one integer division over the
-    prefix sum)."""
+    non-negative prefix sum)."""
     return with_prefix_sum(
         df, id_col, token_col, bucket_size, out="offset"
-    ).withColumn("pack_id", (F.col("offset") / budget).cast("bigint"))
+    ).withColumn("pack_id", F.expr(f"CAST(offset DIV {budget} AS BIGINT)"))
