@@ -244,3 +244,51 @@ def repetition_stats(
             ).alias("top_ngram_char_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-doc top-k TF-IDF keywords: (id, term, tf, score, rank) with the
+    smoothed idf ln((N+1)/(df+1)) + 1 and a deterministic tie rule (score
+    desc, term asc). Shape: one explode to (id, term) rows, hash aggregates
+    for tf/df, the corpus size N as a broadcast one-row cross join (never a
+    driver collect), idf broadcast back by term, and the top-k window
+    partitioned BY DOC — bounded by each doc's distinct terms, no global
+    sort."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tx.tokens(text_col), F.lower)).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("_n")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") >= min_df
+    )
+    scored = (
+        tf.join(dfreq, ["term"])
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", "rank")
+    )

@@ -559,3 +559,41 @@ def contamination(
     return hits.join(totals, ["id"], "inner").select(
         "id", "n_windows", "hit_windows", "benchmark_docs"
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates + the textbook MinHash Jaccard ESTIMATE: fraction of
+    agreeing signature components — (id_a, id_b, est_jaccard) for estimates
+    ≥ threshold. The estimate costs one signature equi-join over the
+    candidate list (k integer comparisons per pair), no shingle re-read:
+    the cheap filter large pipelines run between LSH candidates and any
+    exact verification pass."""
+    sigs = track_persist(minhash_signatures(df, text_col, id_col, n, num_hashes))
+    cand = lsh_candidates(sigs, num_hashes, bands)
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(a, ["id_a"])
+        .join(b, ["id_b"])
+        .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

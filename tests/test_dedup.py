@@ -406,3 +406,46 @@ def test_contamination_cross_table(spark):
     assert got[1].hit_windows == 1       # one contaminated position
     assert got[1].benchmark_docs == 2    # hits both benchmark docs
     assert got[1].n_windows == 3         # 6 tokens, width 4
+
+
+def test_minhash_estimate_bounds_and_identity(spark):
+    """Identical docs estimate 1.0; estimates live in [0,1] and only
+    LSH candidates are scored."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    df = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six seven"),
+    ])
+    got = {(r.id_a, r.id_b): r.est_jaccard
+           for r in dedup.minhash_estimate_pairs(df, threshold=0.0).collect()}
+    release_persisted()
+    assert got[(1, 2)] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_tfidf_top_terms(spark):
+    """Rare distinguishing terms outrank corpus-wide common ones; ranks are
+    dense per doc and capped at k."""
+    from logsight_filebeat_spark.operators.curation import tfidf_top_terms
+
+    df = _docs(spark, [
+        (1, "common common zebra zebra"),
+        (2, "common common yak yak"),
+        (3, "common plain words"),
+    ])
+    rows = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    for recs in by_doc.values():
+        assert [r.rank for r in sorted(recs, key=lambda r: r.rank)] == list(
+            range(1, len(recs) + 1)
+        )
+        assert len(recs) <= 2
+    top1 = {i: min(rs, key=lambda r: r.rank).term for i, rs in by_doc.items()}
+    # at equal tf the rare term (df=1, idf=ln(2)+1) beats the ubiquitous
+    # one (df=3, idf=1)
+    assert top1[1] == "zebra"
+    assert top1[2] == "yak"
