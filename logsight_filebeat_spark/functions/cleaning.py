@@ -1,0 +1,48 @@
+"""Text cleaning + PII redaction — pre-training hygiene, pure Columns.
+
+The standard first pass over raw web text before any dedup/quality work:
+strip markup remnants, collapse whitespace, and mask personally
+identifiable strings (emails, phone-ish numbers, IPs) with stable
+placeholder tokens so downstream token statistics stay meaningful. All
+whole-stage-codegen `regexp_replace` chains — zero shuffle, zero Python —
+and every pattern is deliberately written in the common subset of Java
+regex and RE2 so DuckDB oracles (and any porting target) reproduce the
+bytes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately simple, dialect-portable patterns (no lookaround, no \b
+# differences): production swaps in its own vetted PII patterns
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"(\d{1,3}\.){3}\d{1,3}"
+PHONE_RE = r"\+?\d[\d -]{7,14}\d"
+TAG_RE = r"<[^>]*>"
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Remove angle-bracket tag remnants, then collapse runs of spaces/tabs
+    (newlines preserved — line structure feeds the quality signals)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_tags = F.regexp_replace(c, TAG_RE, " ")
+    collapsed = F.regexp_replace(no_tags, r"[ \t]+", " ")
+    return F.trim(collapsed)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails, IPv4s, and phone-shaped digit runs with fixed
+    placeholder tokens (order matters: emails first — an address would
+    otherwise be half-eaten by the phone pattern's digit runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c
+
+
+def clean_text(col: Column | str) -> Column:
+    """The composed hygiene pass: markup strip → PII redaction."""
+    return redact_pii(strip_markup(col))

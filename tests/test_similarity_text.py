@@ -295,3 +295,24 @@ def test_quantize_roundtrip_error_bounded(spark):
             assert abs(orig - deq) <= r.scale / 2 + 1e-12
     assert out[2].scale == 0.0 and out[2].q == [0, 0, 0]
     assert out[3].q == [127]  # max element always hits full scale
+
+
+def test_clean_text_markup_and_pii(spark):
+    """Tags stripped, whitespace collapsed (newlines kept), PII masked in
+    the right order (emails before phone digit-runs)."""
+    from logsight_filebeat_spark.functions.cleaning import clean_text
+
+    rows = [
+        (1, "Hello  <b>world</b>\tnow"),
+        (2, "mail bob.smith+x@example.co.uk please"),
+        (3, "server at 192.168.0.1 port"),
+        (4, "call +1 555 123 4567 today"),
+        (5, "line one\nline  two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.c for r in df.select("doc_id", clean_text("text").alias("c")).collect()}
+    assert got[1] == "Hello world now"
+    assert got[2] == "mail <EMAIL> please"
+    assert got[3] == "server at <IP> port"
+    assert got[4] == "call <PHONE> today"
+    assert got[5] == "line one\nline two"
