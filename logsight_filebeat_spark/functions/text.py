@@ -206,3 +206,32 @@ def gopher_pass(
         & (alpha_word_frac(col) > min_alpha_word_frac)
         & (distinct_stopword_count(col, stopwords) >= min_distinct_stopwords)
     )
+
+
+def chunk_tokens(
+    col: Column | str, width: int = 128, overlap: int = 0
+) -> Column:
+    """Split a document into ~``width``-token chunks with ``overlap`` tokens
+    of context carried between consecutive chunks (stride = width−overlap) —
+    the standard training/RAG sequence-prep operator, as one array
+    expression: array of (idx, chunk_text, n_tokens) structs (idx 0-based). The final
+    chunk may be shorter; empty docs yield no chunks. Callers explode to
+    rows; chunking itself never leaves the scan stage."""
+    if not 0 <= overlap < width:
+        raise ValueError(f"need 0 <= overlap < width, got {overlap}/{width}")
+    stride = width - overlap
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        F.filter(starts, lambda s: s <= F.size(toks)),
+        lambda s, i: F.struct(
+            i.alias("idx"),
+            F.array_join(F.slice(toks, s, width), " ").alias("chunk_text"),
+            F.least(F.size(toks) - s + 1, F.lit(width)).alias("n_tokens"),
+        ),
+    )
+    return F.when(F.size(toks) > 0, chunks).otherwise(
+        F.array().cast(
+            "array<struct<idx:int,chunk_text:string,n_tokens:int>>"
+        )
+    )

@@ -316,3 +316,24 @@ def test_clean_text_markup_and_pii(spark):
     assert got[3] == "server at <IP> port"
     assert got[4] == "call <PHONE> today"
     assert got[5] == "line one\nline two"
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    """Chunks stride by width−overlap, carry the overlap verbatim, and the
+    tail chunk is short; empty docs chunk to nothing."""
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id bigint, text string")
+    rows = (
+        df.select("doc_id", F.explode(tx.chunk_tokens("text", width=4, overlap=1)).alias("c"))
+        .select("doc_id", "c.*")
+        .collect()
+    )
+    assert all(r.doc_id == 1 for r in rows)  # empty doc yields no chunks
+    chunks = [r.chunk_text for r in sorted(rows, key=lambda r: r.idx)]
+    assert chunks == [
+        "t0 t1 t2 t3",   # starts 0, stride 3
+        "t3 t4 t5 t6",   # overlap carries t3
+        "t6 t7 t8 t9",
+        "t9",            # short tail
+    ]
+    assert [r.n_tokens for r in sorted(rows, key=lambda r: r.idx)] == [4, 4, 4, 1]
