@@ -183,3 +183,48 @@ def test_running_totals_state_survives_micro_batches(spark, tmp_path):
     search = [r for r in rows if r.sink == "search"]
     assert max(r.total_events for r in search) == 3
     assert max(r.total_bytes for r in search) == 15
+
+
+def test_sessionize_runs_in_streaming_mode(spark, tmp_path):
+    """The same sessionize() call works as a streaming aggregate (the
+    docstring's claim): session windows over a file stream with a
+    watermark, drained with availableNow, equal the batch result."""
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.operators.aggregate import sessionize
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + 5 * m, 7, 2.0),
+        (3, t0 + 90 * m, 7, 3.0),
+        (4, t0 + 2 * m, 9, 4.0),
+    ]
+    in_dir = str(tmp_path / "in")
+    batch_df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    batch_df.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).parquet(in_dir)
+    agg = sessionize(stream.withWatermark("ts", "2 hours"), gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.table("sess_stream").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in sessionize(batch_df, gap="30 minutes").collect()
+    }
+    assert streamed == batch and len(batch) == 3
