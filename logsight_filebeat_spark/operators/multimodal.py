@@ -169,3 +169,42 @@ def histogram_features(feat: Column | str, decimals: int = 6) -> Column:
     return F.transform(
         c.getField("bucket_counts"), lambda x: F.round(x / n, decimals)
     )
+
+
+def resize_plan(
+    width: Column | str,
+    height: Column | str,
+    max_side: int = 224,
+    multiple: int = 8,
+) -> Column:
+    """Resize PLANNING as pure Columns — the aspect-ratio-preserving target
+    geometry every image pipeline computes before touching pixels: scale
+    the longer side down to ``max_side`` (never upscale), snap both dims
+    down to the codec-friendly ``multiple`` (min one multiple), and carry
+    the scale factor for coordinate remapping. Returns a struct
+    (target_w, target_h, scale). The pixel resample itself belongs in the
+    decode UDF (stubbed here like decode_image — no codec libs in this
+    container); splitting plan from pixels keeps the geometry testable,
+    oracle-checkable, and shuffle-free."""
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    w, h = w.cast("double"), h.cast("double")
+    longer = F.greatest(w, h)
+    scale = F.when(longer > max_side, max_side / longer).otherwise(F.lit(1.0))
+    snap = lambda d: F.greatest(  # noqa: E731
+        (F.floor(d * scale / multiple) * multiple).cast("int"), F.lit(multiple)
+    )
+    return F.when(
+        (w > 0) & (h > 0),
+        F.struct(
+            snap(w).alias("target_w"),
+            snap(h).alias("target_h"),
+            F.round(scale, 6).alias("scale"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(0).alias("target_w"),
+            F.lit(0).alias("target_h"),
+            F.lit(0.0).alias("scale"),
+        )
+    )

@@ -84,3 +84,18 @@ def test_byte_histogram_features(spark):
     assert got[3].n_bytes == 0
     assert got[4].bucket_counts == [16] * 16
     assert all(p == 0.0625 for p in got[4].probs)
+
+
+def test_resize_plan_geometry(spark):
+    """Aspect preserved, no upscale, multiple-of-8 snap with a floor of one
+    multiple, degenerate dims plan to zero."""
+    from logsight_filebeat_spark.operators.multimodal import resize_plan
+
+    rows = [(1, 640, 480), (2, 100, 50), (3, 2000, 10), (4, 0, 100)]
+    df = spark.createDataFrame(rows, "id bigint, w int, h int")
+    got = {r.id: r for r in df.select("id", resize_plan("w", "h").alias("p")).select("id", "p.*").collect()}
+    assert (got[1].target_w, got[1].target_h) == (224, 168)  # 640×0.35, 480×0.35→168
+    assert got[2].scale == 1.0 and (got[2].target_w, got[2].target_h) == (96, 48)
+    assert got[3].target_h == 8  # snapped up to the floor of one multiple
+    assert got[3].target_w == 224
+    assert (got[4].target_w, got[4].target_h, got[4].scale) == (0, 0, 0.0)
