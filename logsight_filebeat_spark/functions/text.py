@@ -214,8 +214,10 @@ def chunk_tokens(
     """Split a document into ~``width``-token chunks with ``overlap`` tokens
     of context carried between consecutive chunks (stride = width−overlap) —
     the standard training/RAG sequence-prep operator, as one array
-    expression: array of (idx, chunk_text, n_tokens) structs (idx 0-based). The final
-    chunk may be shorter; empty docs yield no chunks. Callers explode to
+    expression: array of (idx, chunk_text, n_tokens) structs (idx 0-based).
+    The final chunk may be shorter; a chunk that would contain ONLY overlap
+    (no new tokens) is never emitted, so every chunk past the first adds at
+    least one fresh token; empty docs yield no chunks. Callers explode to
     rows; chunking itself never leaves the scan stage."""
     if not 0 <= overlap < width:
         raise ValueError(f"need 0 <= overlap < width, got {overlap}/{width}")
@@ -223,7 +225,9 @@ def chunk_tokens(
     toks = tokens(col)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     chunks = F.transform(
-        F.filter(starts, lambda s: s <= F.size(toks)),
+        F.filter(
+            starts, lambda s: (s == 1) | (s + overlap <= F.size(toks))
+        ),
         lambda s, i: F.struct(
             i.alias("idx"),
             F.array_join(F.slice(toks, s, width), " ").alias("chunk_text"),

@@ -162,3 +162,72 @@ def test_prefix_sum_matches_cumsum_any_bucket_size(spark, vals, bucket_size):
         want[i] = acc
         acc += v
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(word, max_size=30).map(" ".join),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=3),
+)
+def test_chunking_reassembles_token_stream(spark, text, width, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except the first)
+    and concatenating reproduces the doc's token stream exactly; every
+    non-tail chunk has exactly `width` tokens."""
+    from hypothesis import assume
+
+    from logsight_filebeat_spark.functions.text import chunk_tokens
+
+    assume(overlap < width)
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(chunk_tokens("text", width, overlap).alias("c")).collect()
+    toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t != ""]
+    chunks = sorted(row.c, key=lambda c: c.idx)
+    rebuilt = []
+    for i, ch in enumerate(chunks):
+        ctoks = ch.chunk_text.split(" ") if ch.chunk_text else []
+        assert len(ctoks) == ch.n_tokens
+        if i < len(chunks) - 1:
+            assert ch.n_tokens == width
+        rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
+    assert rebuilt == toks
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=0, max_value=10_000)),
+    min_size=1, max_size=40,
+))
+def test_sessionize_matches_python_oracle(spark, events):
+    """Session membership/counts equal a sequential sweep with the
+    inclusive merge rule for arbitrary event layouts."""
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.operators.aggregate import sessionize
+
+    GAP = 600  # seconds
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=sec), uid, 1.0)
+        for i, (uid, sec) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = sorted(
+        ((r.user_id, r.session_start, r.session_end, r.n_events)
+         for r in sessionize(df, gap="10 minutes").collect())
+    )
+    by_user: dict[int, list] = {}
+    for _, ts, uid, _v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        sess = by_user.setdefault(uid, [])
+        if sess and (ts - sess[-1][1]).total_seconds() <= GAP:
+            sess[-1][1] = max(sess[-1][1], ts)
+            sess[-1][2] += 1
+        else:
+            sess.append([ts, ts, 1])
+    want = sorted(
+        (uid, s[0], s[1], s[2]) for uid, ss in by_user.items() for s in ss
+    )
+    assert got == want

@@ -330,10 +330,11 @@ def test_chunk_tokens_overlap_and_tail(spark):
     )
     assert all(r.doc_id == 1 for r in rows)  # empty doc yields no chunks
     chunks = [r.chunk_text for r in sorted(rows, key=lambda r: r.idx)]
+    # a 4th chunk at t9 would contain ONLY overlap (no new tokens) — never
+    # emitted
     assert chunks == [
         "t0 t1 t2 t3",   # starts 0, stride 3
         "t3 t4 t5 t6",   # overlap carries t3
         "t6 t7 t8 t9",
-        "t9",            # short tail
     ]
-    assert [r.n_tokens for r in sorted(rows, key=lambda r: r.idx)] == [4, 4, 4, 1]
+    assert [r.n_tokens for r in sorted(rows, key=lambda r: r.idx)] == [4, 4, 4]
