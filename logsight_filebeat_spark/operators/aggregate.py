@@ -14,8 +14,9 @@ a second pass over the data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from logsight_filebeat_spark.operators.log_mapper import ERROR_COL
 from logsight_filebeat_spark.operators.router import SINK_COL
@@ -120,3 +121,77 @@ def sessionize(
         )
     )
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the value columns of the
+    LATEST right row with ``right_ts <= left_ts`` on the same key (ties on
+    the timestamp match — the semantics of a sorted merge / DuckDB ASOF
+    JOIN / pandas merge_asof). Left rows with no earlier right row keep
+    nulls (LEFT as-of). The matched right timestamp comes back as
+    ``<prefix>ts``, each value column as ``<prefix><name>``.
+
+    Spark has no native as-of join, and the naive formulations are scale
+    traps: an inequality theta-join plans as a broadcast-nested-loop /
+    range explosion, and a per-key collect doesn't distribute. The
+    distributed construction used here is union-tag + partitioned window:
+    tag both sides, sort each key's rows by (ts, side) — right before left
+    on equal timestamps, so ties are visible — and carry the last non-null
+    right STRUCT forward with last(ignorenulls) over a rows frame. The
+    struct keeps the match atomic (a matched right row whose value column
+    is legitimately null is still a match, not a fall-through to an older
+    row). ONE shuffle on key, in-partition sort, no join explosion, no
+    driver round-trip; skewed keys are split by AQE like any other window.
+
+    Right rows should be unique per (key, right_ts) for a deterministic
+    pick among equal timestamps — pre-aggregate the right side otherwise
+    (the ev_asof query does).
+    """
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    carry_t = T.StructType(
+        [T.StructField("ts", rtypes[right_ts])]
+        + [T.StructField(c, rtypes[c]) for c in value_cols]
+    )
+    lcols = left.columns
+    ltagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ats"),
+        F.lit(None).cast(carry_t).alias("__r"),
+    )
+    rtagged = right.select(
+        *[
+            (F.col(c) if c == key_col else F.lit(None).cast(ltypes[c])).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ats"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__ats", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ltagged.unionByName(rtagged)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .select(
+            *lcols,
+            F.col("__m.ts").alias(f"{prefix}ts"),
+            *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        )
+    )

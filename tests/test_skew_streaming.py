@@ -228,3 +228,73 @@ def test_sessionize_runs_in_streaming_mode(spark, tmp_path):
         for r in sessionize(batch_df, gap="30 minutes").collect()
     }
     assert streamed == batch and len(batch) == 3
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts per key; ties
+    match (inclusive); unmatched left rows survive with nulls; a matched
+    right row whose value is null is still a MATCH (atomic struct carry),
+    not a fall-through to an older row."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 12, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 7, t(10)),   # before any right row → null
+            (2, 7, t(20)),   # tie with right@20 → matches it
+            (3, 7, t(35)),   # between 30 and 40 → right@30 (null value!)
+            (4, 7, t(50)),   # after right@40 → right@40
+            (5, 9, t(50)),   # key with no right rows at all → null
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t(20), 2.0),
+            (7, t(30), None),  # legitimate null value
+            (7, t(40), 4.0),
+        ],
+        "user_id bigint, ts timestamp, v double",
+    )
+    got = {
+        r.event_id: (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, key_col="user_id", value_cols=("v",)
+        ).collect()
+    }
+    assert got == {
+        1: (None, None),
+        2: (t(20), 2.0),
+        3: (t(30), None),
+        4: (t(40), 4.0),
+        5: (None, None),
+    }
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    """The as-of construction is union + ONE hash-partitioned window on the
+    key — never an inequality join (no CartesianProduct /
+    BroadcastNestedLoopJoin, no SortMergeJoin) and exactly one Exchange."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, datetime(2024, 1, 1), 1.0)],
+        "user_id bigint, ts timestamp, v double",
+    )
+    plan = (
+        asof_join(left, right, key_col="user_id", value_cols=("v",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
