@@ -292,3 +292,79 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", "score", "rank")
     )
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bigram) rows: adjacent lowercase whitespace-token pairs as
+    "w1 w2" strings — the standard n-gram LM event. Pure array expressions
+    in the scan (slice + transform with the positional lambda index), one
+    explode; a document shorter than two tokens yields no rows."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, F.lit(1), F.size(toks) - 1),
+            lambda w, i: F.concat_ws(
+                " ", w, F.element_at(toks, (i + 2).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("bigram")
+    )
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram frequency table (bigram, cnt): ONE hash aggregate over
+    the exploded bigrams — map-side partial aggregation collapses each
+    partition's repeats before the shuffle. This is n-gram LM training as
+    a DataFrame op; counts are exact integers, so downstream scoring is
+    engine-reproducible (no float-summation order anywhere)."""
+    return doc_bigrams(df, text_col, id_col).groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def lm_familiarity(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM familiarity score (the CCNet-style fluency gate,
+    with corpus bigram frequency standing in for a pretrained KenLM): each
+    doc's mean training-count of its bigrams. High = phrasing common in
+    the training corpus; low = rare/garbled text. ``model`` defaults to
+    self-scoring (train on ``df`` itself).
+
+    Scale shape: explode → equi-join on bigram → hash aggregate per doc.
+    The model rides a hash join keyed on bigram (AQE broadcasts it when
+    it's small; at corpus scale it shuffles like any dimension its size),
+    and the mean is an exact-integer sum / count — bit-stable across
+    engines and partitionings. Docs with no bigrams score -1.0."""
+    if model is None:
+        model = bigram_model(df, text_col, id_col)
+    bg = doc_bigrams(df, text_col, id_col)
+    scored = (
+        bg.join(model, "bigram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("cnt"), 6).alias("familiarity"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("familiarity", F.lit(-1.0)).alias("familiarity"),
+        )
+    )

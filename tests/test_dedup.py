@@ -449,3 +449,34 @@ def test_tfidf_top_terms(spark):
     # one (df=3, idf=1)
     assert top1[1] == "zebra"
     assert top1[2] == "yak"
+
+
+def test_doc_bigrams_pairs_and_short_docs(spark):
+    from logsight_filebeat_spark.operators.curation import doc_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "The cat  sat"), (2, "word"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.id, r.bigram) for r in doc_bigrams(df).collect()
+    )
+    # lowercased, multi-space collapsed; <2-token docs emit nothing
+    assert got == [(1, "cat sat"), (1, "the cat")]
+
+
+def test_lm_familiarity_mean_training_counts(spark):
+    """Self-scored corpus: 'a b' appears in docs 1 and 2 (model count 2),
+    'b c' only in doc 1 (count 1). Doc 1 mean = (2+1)/2, doc 2 = 2/1;
+    the bigram-less doc scores the -1.0 sentinel."""
+    from logsight_filebeat_spark.operators.curation import lm_familiarity
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.id: (r.n_bigrams, r.familiarity)
+        for r in lm_familiarity(df).collect()
+    }
+    assert got == {1: (2, 1.5), 2: (1, 2.0), 3: (0, -1.0)}
