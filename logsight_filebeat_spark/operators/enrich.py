@@ -92,3 +92,54 @@ def filter_blocked_hosts(
         url_host(url_col) == F.col("__blocked_host"),
         "left_anti",
     )
+
+
+def canonical_url(col: Column | str = "url") -> Column:
+    """C4/CCNet-style URL canonicalization, pure codegen Columns (runs in
+    the scan stage, zero shuffle): strip the fragment, drop tracking query
+    params (utm_*, gclid, fbclid), lowercase the scheme+authority (path and
+    remaining query keep their case), drop the scheme-default port
+    (http:80 / https:443), and strip trailing slashes. The canonical form
+    is the key for URL-level dedup of a web corpus — crawls see the same
+    page under #fragments and utm-tagged share links.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # 1. fragment off first so later anchors see the true tail
+    u = F.regexp_replace(c, r"#.*$", "")
+    # 2. tracking params: value swallowed up to the next & / end; the
+    #    leading separator is KEPT (captured) so ?a=1&utm_x=2&b=3 keeps
+    #    its structure, then ?& / && / trailing ?,& artifacts collapse
+    u = F.regexp_replace(
+        u, r"([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*", r"$1"
+    )
+    u = F.regexp_replace(u, r"&{2,}", r"&")
+    u = F.regexp_replace(u, r"\?&", r"?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 3. lowercase scheme://authority only (lookaround-free so the DuckDB
+    #    oracle's RE2 dialect expresses the identical patterns)
+    pre = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.concat(F.lower(pre), F.substr(u, F.length(pre) + 1))
+    # 4. scheme-default ports
+    u = F.regexp_replace(u, r"^(http://[^:/?#]+):80([/?#].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^:/?#]+):443([/?#].*)?$", r"$1$2")
+    # 5. trailing slash(es) — the [^:/] guard spares the authority's "//"
+    return F.regexp_replace(u, r"^(.+[^:/])/+$", r"$1")
+
+
+def url_dup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL duplicate groups: (canon_url, n_dups, keep_id) with
+    keep = min id — the URL-level exact-dedup pre-pass a web corpus runs
+    before any content hashing. One hash aggregate on the canonical key."""
+    return (
+        df.select(
+            canonical_url(url_col).alias("canon_url"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("keep_id"),
+        )
+    )

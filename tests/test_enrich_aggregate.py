@@ -82,3 +82,51 @@ def test_receipts_status_codes(spark):
     assert rec["s2"].logs_count == 1 and rec["s2"].status == 200
     assert rec["s1"].batch_id == "b1"
     assert len(rec["s1"].receipt_id) == 64
+
+
+def test_canonical_url_rules(spark):
+    """Fragment, tracking params, scheme/authority case, default ports,
+    trailing slashes — and the things canonicalization must NOT touch:
+    path case, non-default ports, non-URL strings, the authority's //."""
+    from logsight_filebeat_spark.operators.enrich import canonical_url
+
+    cases = {
+        "HTTPS://Example.COM:443/Path/?utm_source=x&id=3&utm_c=z#frag":
+            "https://example.com/Path/?id=3",
+        "http://example.com:80/a//": "http://example.com/a",
+        "https://example.com/?utm_only=1": "https://example.com",
+        "https://example.com/a?x=1&gclid=g&y=2":
+            "https://example.com/a?x=1&y=2",
+        "https://example.com/": "https://example.com",
+        "https://": "https://",
+        "http://h:8080/x": "http://h:8080/x",
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonical_url("url").alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_url_dup_groups_collapses_variants(spark):
+    from logsight_filebeat_spark.operators.enrich import url_dup_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x"),
+            (2, "HTTPS://A.com/x#top"),
+            (3, "https://a.com/x?utm_source=s"),
+            (4, "https://b.com/y"),
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.canon_url: (r.n_dups, r.keep_id)
+        for r in url_dup_groups(df).collect()
+    }
+    assert got == {
+        "https://a.com/x": (3, 1),
+        "https://b.com/y": (1, 4),
+    }
