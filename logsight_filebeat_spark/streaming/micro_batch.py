@@ -106,3 +106,27 @@ def streaming_aggregates(
             F.sum(F.when(is_failed, 1).otherwise(0)).alias("failed_count"),
         )
     )
+
+
+def content_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Streaming exact dedup for continuous corpus ingestion — the batch
+    dedup_exact semantics made incremental. Rows hash with the portable
+    md5 (functions/hashing.py, the same key batch dedup groups on) and
+    pass through dropDuplicatesWithinWatermark: the state store holds one
+    entry per distinct document no older than the watermark horizon, so
+    state stays BOUNDED on an unbounded stream while any duplicate
+    arriving within the horizon is dropped. First arrival wins; the
+    append-mode output is exactly the never-seen-before documents."""
+    from logsight_filebeat_spark.functions.hashing import md5_hex
+
+    return (
+        stream.withColumn(hash_col, md5_hex(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([hash_col])
+    )

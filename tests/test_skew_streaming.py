@@ -298,3 +298,43 @@ def test_asof_join_plan_single_shuffle(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_content_dedup_stream_state_spans_micro_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch (maxFilesPerTrigger=1
+    → one file per batch) must still be dropped: the dedup state store
+    survives batch boundaries."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.streaming.micro_batch import (
+        content_dedup_stream,
+    )
+
+    src = tmp_path / "docs"
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id bigint, text string, ts timestamp"
+    spark.createDataFrame(
+        [(1, "alpha", t0), (2, "beta", t0)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, "gamma", t0), (4, "alpha", t0)], schema  # dup of doc 1
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        content_dedup_stream(stream, watermark="1 hour")
+        .select("text")
+        .writeStream.format("memory")
+        .queryName("st_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.text for r in spark.table("st_dedup_test").collect())
+    assert got == ["alpha", "beta", "gamma"]
