@@ -492,3 +492,70 @@ def dequantize_embeddings(
     return df.withColumn(
         out, F.transform(F.col(q_col), lambda x: x * F.col(scale_col))
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    ONLY within each cluster — the cluster partition bounds the pairwise
+    work to Σ|cluster|², the same blocking role LSH buckets play for text.
+    Returns (centroid_id, id_a, id_b, cosine) for intra-cluster pairs at
+    or above ``threshold``.
+
+    Scale shape: trained codebook (ivf_train_codebook — every stage
+    bounded-shuffle), broadcast constant-k assignment, then a hash
+    equi-join of the assignment against itself on centroid_id with the
+    vectors riding both sides (no join-back to fetch them). At corpus
+    scale use n_centroids ~ sqrt(N) so clusters stay small — the
+    demo-scale k here keeps the oracle's SQL re-derivation tractable."""
+    from logsight_filebeat_spark.functions.caching import track_persist
+
+    if codebook is None:
+        codebook = ivf_train_codebook(
+            vectors, n_centroids, iterations, id_col, vec_col
+        )
+        codebook = track_persist(codebook)
+    asg = track_persist(ivf_assign(vectors, codebook, id_col, vec_col))
+    a = asg.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = asg.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("centroid_id", "id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus after SemDeDup: drop the higher id of every intra-cluster
+    near-duplicate pair (the greedy survivor rule large-corpus dedup
+    standardizes on), via one distinct + broadcast-able LEFT ANTI join."""
+    pairs = semantic_dedup_pairs(
+        vectors, n_centroids, iterations, threshold, id_col, vec_col
+    )
+    drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return vectors.join(
+        drops, F.col(id_col) == F.col("__drop"), "left_anti"
+    )

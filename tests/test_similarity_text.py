@@ -338,3 +338,48 @@ def test_chunk_tokens_overlap_and_tail(spark):
         "t6 t7 t8 t9",
     ]
     assert [r.n_tokens for r in sorted(rows, key=lambda r: r.idx)] == [4, 4, 4]
+
+
+def test_semantic_dedup_drops_higher_pair_ids(spark):
+    """Survivors = corpus minus the higher id of every intra-cluster pair
+    at/above threshold; ids in no pair are untouched."""
+    from logsight_filebeat_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.05]), (2, [1.0, 0.02, 0.0]), (3, [0.95, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.03]), (5, [0.02, 1.0, 0.0]),
+        (6, [0.5, 0.5, 3.0]),  # near neither cluster axis
+    ]
+    vecs = _vecs(spark, rows)
+    pairs = semantic_dedup_pairs(
+        vecs, n_centroids=2, iterations=1, threshold=0.9
+    )
+    drops = {r.id_b for r in pairs.collect()}
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            vecs, n_centroids=2, iterations=1, threshold=0.9
+        ).collect()
+    }
+    assert kept == {r[0] for r in rows} - drops and drops
+
+
+def test_semantic_dedup_pairs_plan_no_cartesian(spark):
+    """The intra-cluster pair generator must plan as a hash equi-join on
+    centroid_id — never a CartesianProduct over the corpus (training's
+    constant-k codebook scoring broadcasts <=k rows and is fine)."""
+    from logsight_filebeat_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    vecs = _vecs(spark, [(i, [float(i), 1.0, 0.0]) for i in range(1, 7)])
+    plan = (
+        semantic_dedup_pairs(vecs, n_centroids=2, iterations=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
