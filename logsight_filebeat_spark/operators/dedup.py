@@ -597,3 +597,96 @@ def minhash_estimate_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The APPLY step of exact substring dedup (Lee et al. 2022): rewrite
+    the corpus with duplicated token spans REMOVED, keeping each duplicated
+    span only at its canonical first occurrence (min (id, pos) order —
+    within-doc repeats count too, matching the suffix-array formulation's
+    "keep one copy corpus-wide"). Returns one row per input doc:
+    (id, text, n_tokens, n_cut) where ``text`` is rebuilt from the
+    surviving tokens and ``n_cut`` is how many token positions were cut.
+
+    ``substring_dup_stats`` measures the duplicated mass; this operator
+    actually cuts it — the pair is measure → act, the way production
+    corpus dedup runs.
+
+    Shape (all hash aggregates / equi-joins, nothing quadratic, no
+    single-task stage):
+      1. rolling window hashes, O(corpus tokens) rows (persisted once);
+      2. groupBy(win_hash) → canonical occurrence via min(struct(id,pos))
+         + occurrence count — one shuffle on the 128-bit hash;
+      3. non-canonical occurrences explode to covered token positions
+         (× width, bounded by the duplicated mass) → distinct;
+      4. posexploded tokens LEFT ANTI join the cut positions on (id, pos)
+         — one shuffle on (id, pos);
+      5. per-doc reassembly: collect_list(struct(pos, tok)) → array_sort →
+         array_join; per-task memory is one doc's tokens, never a global
+         sort.
+    """
+    from logsight_filebeat_spark.functions.text import tokens
+
+    w = track_persist(substring_windows(df, text_col, id_col, width))
+    dup = (
+        w.groupBy("win_hash")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("keep"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("win_hash", "keep")
+    )
+    cut_occ = (
+        w.join(dup, ["win_hash"])
+        .filter(
+            ~(
+                (F.col("id") == F.col("keep.id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    cut_pos = cut_occ.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+        ).alias("p"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("p", "tok"),
+    )
+    kept = toks.join(cut_pos, ["id", "p"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "tok"))).alias("a"))
+        .select(
+            "id",
+            F.array_join(
+                F.transform("a", lambda s: s["tok"]), " "
+            ).alias("text"),
+            F.size("a").cast("bigint").alias("n_kept"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(rebuilt, ["id"], "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_cut"),
+        )
+    )

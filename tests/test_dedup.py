@@ -480,3 +480,47 @@ def test_lm_familiarity_mean_training_counts(spark):
         for r in lm_familiarity(df).collect()
     }
     assert got == {1: (2, 1.5), 2: (1, 2.0), 3: (0, -1.0)}
+
+
+def test_cut_duplicated_spans_keeps_first_occurrence_only(spark):
+    """Two docs share a 3-token span: the lower (id, pos) occurrence
+    survives verbatim, the other loses exactly those tokens; an untouched
+    doc passes through byte-identical."""
+    df = _docs(
+        spark,
+        [
+            (1, "x y z tail one"),
+            (2, "head x y z tail2"),
+            (3, "totally different words here"),
+        ],
+    )
+    out = {
+        r.id: r
+        for r in dedup.cut_duplicated_spans(df, width=3).collect()
+    }
+    # doc 1 holds the canonical (min (id,pos)) occurrence of "x y z"
+    assert out[1].text == "x y z tail one" and out[1].n_cut == 0
+    # doc 2's copy is cut: positions 1..3 ("x y z") removed
+    assert out[2].text == "head tail2" and out[2].n_cut == 3
+    assert out[3].text == "totally different words here"
+    assert out[3].n_tokens == 4 and out[3].n_cut == 0
+
+
+def test_cut_duplicated_spans_within_doc_repeat_and_full_cut(spark):
+    """A span repeated INSIDE one doc is cut at its second occurrence
+    (total-occurrence rule, not distinct-docs); a doc that is entirely a
+    duplicate of an earlier doc is cut to the empty string."""
+    df = _docs(
+        spark,
+        [(1, "a b c a b c"), (2, "a b c")],
+    )
+    out = {
+        r.id: r
+        for r in dedup.cut_duplicated_spans(df, width=3).collect()
+    }
+    # doc 1: windows at pos 0..3; "a b c" occurs at pos 0 and 3 — pos 3's
+    # copy is cut (positions 3,4,5). Overlapping windows ("b c a" etc.)
+    # occur once each and cut nothing.
+    assert out[1].text == "a b c" and out[1].n_cut == 3
+    # doc 2 duplicates doc 1's canonical span entirely
+    assert out[2].text == "" and out[2].n_cut == 3 and out[2].n_tokens == 3
