@@ -368,3 +368,110 @@ def lm_familiarity(
             F.coalesce("familiarity", F.lit(-1.0)).alias("familiarity"),
         )
     )
+
+
+def hashed_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, feat) rows: the fastText-style feature set — lowercase
+    whitespace unigrams plus adjacent-pair bigrams ("w1_w2") — as plain
+    strings, before hashing. Pure array expressions in the scan (concat of
+    the token array and a slice/transform bigram array), one explode; a
+    doc shorter than two tokens contributes unigrams only, an empty doc
+    contributes nothing."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, F.lit(1), F.size(toks) - 1),
+            lambda w, i: F.concat_ws(
+                "_", w, F.element_at(toks, (i + 2).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.concat(toks, pairs)).alias("feat"),
+    )
+
+
+def feature_weights_demo(spark, dim: int, seed: str = "w") -> DataFrame:
+    """Deterministic stand-in for a trained weight vector: (bucket,
+    w_milli) for every bucket in [0, dim), w_milli = portable hash of the
+    bucket index mapped into [-1000, 1000] (integer milli-units, so sums
+    stay exact in any engine). A production caller passes its actual
+    trained vector as the same two-column table."""
+    from logsight_filebeat_spark.functions.hashing import seeded_hash32
+
+    return spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        (seeded_hash32(F.col("id").cast("string"), seed) % 2001 - 1000)
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 16,
+    hash_seed: int | str = 0,
+    bias_milli: int = 0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-architecture quality classifier (the linear
+    bag-of-hashed-ngrams filter CCNet/DCLM-style pipelines score web text
+    with): every unigram/bigram feature hashes into one of ``dim``
+    buckets, the doc's score is the mean bucket weight plus bias, and
+    ``keep`` applies the threshold. Returns (id, n_feats, score, keep)
+    for EVERY input doc — featureless docs score the bare bias.
+
+    Weights are integer milli-units so the per-doc sum is exact in any
+    engine; the single division happens once at the end (bit-stable, same
+    trick as lm_familiarity). ``weights`` defaults to the deterministic
+    demo vector — pass a trained (bucket, w_milli) table in production.
+
+    Scale shape: features explode map-side, the weight vector (``dim``
+    rows, a few MB even at 2^20) broadcasts into a hash equi-join on
+    bucket, and the per-doc mean is one hash aggregate on id — one
+    shuffle total, corpus side never moves twice."""
+    from logsight_filebeat_spark.functions.hashing import seeded_hash32
+
+    if weights is None:
+        weights = feature_weights_demo(df.sparkSession, dim)
+    feats = hashed_features(df, text_col, id_col).select(
+        "id", (seeded_hash32(F.col("feat"), hash_seed) % dim).alias("bucket")
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_milli").alias("sum_milli"),
+        )
+        .select(
+            "id",
+            "n_feats",
+            F.round(
+                (F.lit(bias_milli) + F.col("sum_milli"))
+                / (F.lit(1000.0) * F.col("n_feats")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(
+                "score", F.round(F.lit(bias_milli / 1000.0), 6)
+            ).alias("score"),
+        )
+        .withColumn("keep", F.col("score") >= F.lit(threshold))
+    )

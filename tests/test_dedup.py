@@ -524,3 +524,68 @@ def test_cut_duplicated_spans_within_doc_repeat_and_full_cut(spark):
     assert out[1].text == "a b c" and out[1].n_cut == 3
     # doc 2 duplicates doc 1's canonical span entirely
     assert out[2].text == "" and out[2].n_cut == 3 and out[2].n_tokens == 3
+
+
+def test_linear_quality_scores_explicit_weights(spark):
+    """Score = (bias + sum of feature-bucket weights) / (1000 * n_feats)
+    with an explicit tiny weight table; featureless docs get the bare
+    bias and still appear in the output."""
+    from logsight_filebeat_spark.functions.hashing import seeded_hash32
+    from logsight_filebeat_spark.operators.curation import (
+        hashed_features,
+        linear_quality_scores,
+    )
+
+    df = _docs(spark, [(1, "Good good"), (2, "")])
+    # doc 1 features: unigrams [good, good] + bigram [good_good]
+    feats = [
+        r.feat for r in hashed_features(df).filter(F.col("id") == 1).collect()
+    ]
+    assert sorted(feats) == ["good", "good", "good_good"]
+
+    dim = 8
+    buckets = {
+        r.feat: r.b
+        for r in spark.createDataFrame(
+            [("good",), ("good_good",)], "feat string"
+        )
+        .select("feat", (seeded_hash32(F.col("feat"), 0) % dim).alias("b"))
+        .collect()
+    }
+    w = {buckets["good"]: 500, buckets["good_good"]: -100}
+    weights = spark.createDataFrame(
+        [(b, w.get(b, 0)) for b in range(dim)], "bucket bigint, w_milli bigint"
+    )
+    out = {
+        r.id: r
+        for r in linear_quality_scores(
+            df, weights, dim=dim, bias_milli=100, threshold=0.2
+        ).collect()
+    }
+    if buckets["good"] == buckets["good_good"]:  # collision: both 500
+        expected = round((100 + 3 * 500) / 3000.0, 6)
+    else:
+        expected = round((100 + 500 + 500 - 100) / 3000.0, 6)
+    assert out[1].n_feats == 3 and out[1].score == expected
+    assert out[1].keep == (expected >= 0.2)
+    assert out[2].n_feats == 0 and out[2].score == 0.1 and not out[2].keep
+
+
+def test_linear_quality_scores_weights_broadcast(spark):
+    """The weight vector must ride a broadcast hash join — the corpus side
+    never shuffles for the weight lookup."""
+    from logsight_filebeat_spark.operators.curation import (
+        linear_quality_scores,
+    )
+
+    df = _docs(spark, [(1, "a b c"), (2, "d e")])
+    plan = (
+        linear_quality_scores(df, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bucket-keyed weight lookup broadcasts; the final per-id outer
+    # join back to the doc base may legitimately shuffle on id
+    assert "BroadcastHashJoin [bucket" in plan
+    assert "SortMergeJoin [bucket" not in plan
