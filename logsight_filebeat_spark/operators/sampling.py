@@ -77,3 +77,59 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(frac * SAMPLE_BUCKETS))
         ).otherwise(thresh)
     return df.filter(sample_bucket(id_col, seed) < thresh)
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep-thresholds for temperature resampling: sampling
+    each stratum at rate (n_min / n_stratum)^(1-alpha) flattens the
+    mixture toward p^alpha (the exponentiated-smoothing rebalance
+    multilingual training uses — alpha=1 keeps the natural mixture,
+    alpha=0 equalizes strata). The smallest stratum keeps 100% and larger
+    ones downsample toward it; rates quantize to an integer bucket
+    threshold out of SAMPLE_BUCKETS so membership is exact.
+
+    Returns (strata_col, n, thresh). alpha=0.5 computes the rate via
+    sqrt, which IEEE-754 rounds correctly in every engine — the
+    bit-reproducible choice; other alphas go through pow (≤1 ulp, then
+    the round-to-6 quantization absorbs it).
+
+    Scale shape: one hash aggregate over the corpus (map-side partials,
+    stratum cardinality is tiny), a broadcast of the 1-row min, and a
+    tiny dim-table result for the caller to broadcast-join back."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n").cast("double")
+    expo = 1.0 - alpha
+    rate = F.sqrt(ratio) if expo == 0.5 else F.pow(ratio, F.lit(expo))
+    return counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        "n",
+        F.floor(F.round(rate, 6) * SAMPLE_BUCKETS)
+        .cast("bigint")
+        .alias("thresh"),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Temperature-resampled corpus: each row's fate is its deterministic
+    hash bucket vs its stratum's threshold — stable under reruns and
+    repartitioning like every sampler here, so the rebalanced mixture is
+    reproducible anywhere. One aggregate for the rates, one broadcast
+    equi-join back, a pure filter in the scan; the corpus shuffles zero
+    times."""
+    rates = temperature_rates(df, strata_col, alpha).select(
+        strata_col, "thresh"
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(
+        sample_bucket(id_col, seed) < F.col("thresh")
+    )

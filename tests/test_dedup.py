@@ -589,3 +589,36 @@ def test_linear_quality_scores_weights_broadcast(spark):
     # join back to the doc base may legitimately shuffle on id
     assert "BroadcastHashJoin [bucket" in plan
     assert "SortMergeJoin [bucket" not in plan
+
+
+def test_temperature_rates_and_resample(spark):
+    """Smallest stratum keeps 100%; a 4x stratum at alpha=0.5 keeps
+    sqrt(1/4)=50% of buckets; alpha=1 preserves the natural mixture
+    (every threshold = SAMPLE_BUCKETS); membership is stable under
+    repartitioning."""
+    from logsight_filebeat_spark.operators import sampling as smp
+
+    rows = [(i, "x", "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    rates = {
+        r.lang: r.thresh
+        for r in smp.temperature_rates(df, "lang", alpha=0.5).collect()
+    }
+    assert rates["small"] == smp.SAMPLE_BUCKETS
+    assert rates["big"] == int(round((20 / 80) ** 0.5, 6) * smp.SAMPLE_BUCKETS)
+
+    natural = {
+        r.thresh for r in smp.temperature_rates(df, "lang", alpha=1.0).collect()
+    }
+    assert natural == {smp.SAMPLE_BUCKETS}
+
+    kept = {
+        r.doc_id for r in smp.temperature_resample(df, "lang").collect()
+    }
+    kept_repart = {
+        r.doc_id
+        for r in smp.temperature_resample(df.repartition(7), "lang").collect()
+    }
+    assert kept == kept_repart
+    # all of the smallest stratum survives
+    assert {i for i in range(80, 100)} <= kept
