@@ -201,6 +201,27 @@ def _family_transform(i: int):
     return lambda h: (h * a + b) % MINHASH_P
 
 
+def band_buckets(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 2
+) -> DataFrame:
+    """(id, bucket) rows — each signature banded into ``bands`` buckets
+    (md5 of the band index + its signature components). The ONE definition
+    of band bucketing: same-table candidates (lsh_candidates) and
+    cross-table probes (incremental_dedup) both build on it, so a bucket
+    computed over one corpus is joinable against a bucket computed over
+    another."""
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        band_cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        bucket = md5_hex(F.concat_ws("_", F.lit(b), *band_cols))
+        parts.append(sigs.select(F.col("id"), bucket.alias("bucket")))
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionAll(p)
+    return buckets
+
+
 def lsh_candidates(
     sigs: DataFrame, num_hashes: int = 8, bands: int = 2
 ) -> DataFrame:
@@ -211,15 +232,7 @@ def lsh_candidates(
     The band union + self-join reads ``sigs`` 2×bands times — persist it
     (minhash_lsh_pairs does via track_persist) or the signature projection
     recomputes per read."""
-    rows = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        band_cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        bucket = md5_hex(F.concat_ws("_", F.lit(b), *band_cols))
-        parts.append(sigs.select(F.col("id"), bucket.alias("bucket")))
-    buckets = parts[0]
-    for p in parts[1:]:
-        buckets = buckets.unionAll(p)
+    buckets = band_buckets(sigs, num_hashes, bands)
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (
@@ -689,4 +702,72 @@ def cut_duplicated_spans(
             .cast("bigint")
             .alias("n_cut"),
         )
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Snapshot-over-snapshot dedup — the production shape for continuous
+    corpus ingestion (each web-crawl snapshot dedups against everything
+    already kept, then within itself). Returns the surviving rows of
+    ``incoming``, in four deterministic steps:
+
+      1. exact within incoming (keep min id per identical text);
+      2. exact vs existing — LEFT ANTI join on the content md5 against
+         existing's distinct hash set;
+      3. near-dup vs existing — incoming band buckets probe existing's
+         distinct bucket set (same banding as lsh_candidates, via the
+         shared band_buckets); any collision drops the incoming doc
+         (greedy: the already-kept copy wins, matching curation's rule);
+      4. near-dup within the remainder — lsh_candidates over surviving
+         signatures, higher id of each candidate pair drops.
+
+    Scale shape: every step is a hash equi-join or anti-join on a content
+    hash / bucket — the existing corpus contributes only its DISTINCT
+    hashes and buckets (never full rows), so the incremental cost is
+    O(incoming + existing index), exactly how a persisted
+    signature/bucket index would be replayed against each new snapshot.
+    """
+    inc = dedup_exact(incoming, text_col, id_col)
+    ex_h = existing.select(md5_hex(F.col(text_col)).alias("_h")).distinct()
+    inc = (
+        inc.withColumn("_h", md5_hex(F.col(text_col)))
+        .join(ex_h, ["_h"], "left_anti")
+        .drop("_h")
+    )
+    inc = track_persist(inc)
+    sig_in = track_persist(
+        minhash_signatures(inc, text_col, id_col, n, num_hashes)
+    )
+    bk_in = band_buckets(sig_in, num_hashes, bands)
+    bk_ex = (
+        band_buckets(
+            minhash_signatures(existing, text_col, id_col, n, num_hashes),
+            num_hashes,
+            bands,
+        )
+        .select("bucket")
+        .distinct()
+    )
+    hit = bk_in.join(bk_ex, ["bucket"]).select("id").distinct()
+    surv = inc.join(hit, F.col(id_col) == F.col("id"), "left_anti")
+    sig_surv = track_persist(
+        sig_in.join(
+            surv.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+        )
+    )
+    drops = (
+        lsh_candidates(sig_surv, num_hashes, bands)
+        .select(F.col("id_b").alias("__drop"))
+        .distinct()
+    )
+    return surv.join(
+        drops, F.col(id_col) == F.col("__drop"), "left_anti"
     )

@@ -622,3 +622,42 @@ def test_temperature_rates_and_resample(spark):
     assert kept == kept_repart
     # all of the smallest stratum survives
     assert {i for i in range(80, 100)} <= kept
+
+
+def test_incremental_dedup_four_stages(spark):
+    # existing corpus: doc 1 (kept earlier), doc 2 near-dup anchor
+    existing = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+    )
+    incoming = _docs(
+        spark,
+        [
+            # (a) exact dup WITHIN incoming — 10 survives (min id), 11 drops
+            (10, "brand new unique document text here"),
+            (11, "brand new unique document text here"),
+            # (b) exact dup of existing doc 1 — drops at the anti-join
+            (12, "alpha beta gamma delta epsilon zeta"),
+            # (c) near-dup of existing doc 2: different raw text (double
+            # space ⇒ different md5, survives the exact anti-join) but
+            # identical token shingles ⇒ identical buckets ⇒ probe drop
+            (13, "one  two three four five six seven"),
+            # (d) genuinely new
+            (14, "totally unrelated fresh content words"),
+        ],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            existing, incoming, n=3, num_hashes=8, bands=2
+        ).collect()
+    )
+    assert kept == [10, 14]
+    # empty incoming stays empty; full-overlap incoming drops everything
+    assert (
+        dedup.incremental_dedup(existing, existing, n=3, num_hashes=8, bands=2).count()
+        == 0
+    )
