@@ -771,3 +771,84 @@ def incremental_dedup(
     return surv.join(
         drops, F.col(id_col) == F.col("__drop"), "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (boilerplate line removal)
+# ---------------------------------------------------------------------------
+
+def line_doc_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """(line_hash, doc_freq) — how many DISTINCT documents each exact line
+    occurs in. Lines shorter than ``min_line_chars`` are excluded (blank
+    lines and bare punctuation occur everywhere; removing them would mangle
+    formatting, matching the public line-dedup recipes that only consider
+    substantive lines). One explode + one hash aggregate with map-side
+    partial count-distinct — no joins."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.length("line") >= min_line_chars)
+    return (
+        lines.select(md5_hex(F.col("line")).alias("line_hash"), "id")
+        .groupBy("line_hash")
+        .agg(F.count_distinct("id").alias("doc_freq"))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    min_line_chars: int = 5,
+) -> DataFrame:
+    """Corpus-level line dedup (the RefinedWeb / CCNet boilerplate pass):
+    any exact line occurring in >= ``min_doc_freq`` distinct documents is
+    boilerplate (cookie banners, navigation, footers) and is removed from
+    EVERY document; each document reassembles from its surviving lines in
+    original order. Returns the input rows with ``text`` rewritten and a
+    ``n_lines_cut`` count (docs whose every line was boilerplate keep an
+    empty string — the caller's quality gate drops them).
+
+    Scale shape: explode to (doc, pos, line) → hash anti-join against the
+    hot-line set on the 128-bit line hash → per-doc sort-free reassembly
+    (collect_list + array_sort over ONE doc's lines, bounded by doc size).
+    The hot set is corpus-wide but orders of magnitude smaller than the
+    line table; the join is a plain hash equi-join, no broadcast required
+    (Catalyst/AQE may still choose one when the hot set is small)."""
+    hot = line_doc_freq(df, text_col, id_col, min_line_chars).filter(
+        F.col("doc_freq") >= min_doc_freq
+    )
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = (
+        lines.withColumn("_lh", md5_hex(F.col("line")))
+        .join(hot, F.col("_lh") == F.col("line_hash"), "left_anti")
+        .drop("_lh")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("id"), "left")
+        .withColumn(
+            "n_lines_cut", n_lines - F.coalesce(F.col("_n_kept"), F.lit(0))
+        )
+        .withColumn(text_col, F.coalesce(F.col("_new_text"), F.lit("")))
+        .drop("id", "_new_text", "_n_kept")
+    )

@@ -661,3 +661,27 @@ def test_incremental_dedup_four_stages(spark):
         dedup.incremental_dedup(existing, existing, n=3, num_hashes=8, bands=2).count()
         == 0
     )
+
+
+def test_line_dedup_removes_hot_lines_keeps_order(spark):
+    mk = lambda *lines: "\n".join(lines)
+    df = _docs(
+        spark,
+        [
+            (1, mk("COOKIE BANNER TEXT", "doc one body", "fin")),
+            (2, mk("COOKIE BANNER TEXT", "doc two body")),
+            (3, mk("doc three body", "COOKIE BANNER TEXT", "tail line x")),
+            (4, mk("COOKIE BANNER TEXT")),  # all-boilerplate doc
+        ],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_cut)
+        for r in dedup.line_dedup(df, min_doc_freq=3, min_line_chars=5).collect()
+    }
+    assert out[1] == ("doc one body\nfin", 1)  # "fin" < 5 chars: never hot
+    assert out[2] == ("doc two body", 1)
+    assert out[3] == ("doc three body\ntail line x", 1)
+    assert out[4] == ("", 1)  # empty survivor, not a dropped row
+    # below the doc-freq threshold nothing is cut
+    intact = dedup.line_dedup(df, min_doc_freq=5, min_line_chars=5)
+    assert intact.filter(F.col("n_lines_cut") > 0).count() == 0
