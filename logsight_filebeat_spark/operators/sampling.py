@@ -133,3 +133,129 @@ def temperature_resample(
     return df.join(F.broadcast(rates), strata_col).filter(
         sample_bucket(id_col, seed) < F.col("thresh")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_SEED = "dsir"
+
+
+def hashed_ngram_buckets(
+    col: Column | str = "text", dim: int = 256, seed: str = DSIR_SEED
+) -> Column:
+    """Hashed n-gram feature buckets of a document: every unigram and
+    bigram hashed into [0, dim) — duplicates kept (the feature is a count
+    vector). Pure array expression in the scan; the portable hash keeps
+    the bucketing engine-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bis), lambda g: seeded_hash32(g, seed) % dim
+    )
+
+
+def bucket_counts(
+    df: DataFrame, text_col: str = "text", dim: int = 256, seed: str = DSIR_SEED
+) -> DataFrame:
+    """(bucket, cnt) — corpus-wide hashed n-gram bucket counts: explode +
+    ONE hash aggregate with map-side partials; result has ≤ dim rows."""
+    return (
+        df.select(
+            F.explode(hashed_ngram_buckets(text_col, dim, seed)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    seed: str = DSIR_SEED,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: log p̂_target(doc) −
+    log p̂_raw(doc) under Laplace-smoothed hashed-n-gram bag models —
+    documents whose feature profile looks more like ``target`` than like
+    the raw corpus score > 0. Returns (id_col, n_grams, logw·1e-6-rounded).
+
+    logw = Σ_g [ln(tgt[g]+1) − ln(raw[g]+1)]
+         + n_grams · [ln(rawN + dim) − ln(tgtN + dim)]
+
+    Scale shape: two corpus aggregates produce ≤dim-row count tables; the
+    per-bucket log-ratio table (raw LEFT JOIN tgt — every doc bucket
+    exists in raw by construction) and the 1-row totals both broadcast;
+    the per-doc pass is explode → broadcast equi-join → hash re-aggregate
+    on the id. Nothing bigger than the exploded gram table ever moves."""
+    raw = bucket_counts(df, text_col, dim, seed)
+    tgt = bucket_counts(target, text_col, dim, seed)
+    lr = (
+        raw.alias("r")
+        .join(tgt.alias("t"), ["bucket"], "left")
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("t.cnt"), F.lit(0)) + 1)
+                - F.log(F.col("r.cnt") + 1)
+            ).alias("lr"),
+        )
+    )
+    totals = raw.agg(F.sum("cnt").alias("rawN")).crossJoin(
+        tgt.agg(F.sum("cnt").alias("tgtN"))
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(hashed_ngram_buckets(text_col, dim, seed)).alias("bucket"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(lr), ["bucket"])
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("_s"), F.count(F.lit(1)).alias("n_grams"))
+    )
+    norm = F.log(F.col("rawN") + dim) - F.log(F.col("tgtN") + dim)
+    scored = per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_grams",
+        F.round(F.col("_s") + F.col("n_grams") * norm, 6).alias("logw"),
+    )
+    # docs with zero grams carry weight 0 (no evidence either way)
+    return (
+        df.select(id_col)
+        .join(scored, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    seed: str = DSIR_SEED,
+) -> DataFrame:
+    """Rows of ``df`` whose DSIR log-weight is positive — the
+    deterministic top-of-the-importance-ranking selection (the paper
+    resamples with Gumbel noise; the reproducible-pipeline form thresholds
+    the ranking instead)."""
+    w = dsir_log_weights(df, target, text_col, id_col, dim, seed)
+    return df.join(
+        w.filter(F.col("logw") > 0).select(id_col), [id_col], "left_semi"
+    )

@@ -685,3 +685,36 @@ def test_line_dedup_removes_hot_lines_keeps_order(spark):
     # below the doc-freq threshold nothing is cut
     intact = dedup.line_dedup(df, min_doc_freq=5, min_line_chars=5)
     assert intact.filter(F.col("n_lines_cut") > 0).count() == 0
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from logsight_filebeat_spark.operators import sampling as smp
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta"),   # target-like
+        (2, "gamma delta gamma delta gamma delta"),  # raw-only
+        (3, "alpha beta gamma delta"),               # mixed
+        (4, ""),                                     # no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # an INDEPENDENT target corpus (not a subset of raw) whose profile
+    # matches doc 1 — the DSIR setting: steer raw toward a reference set
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta alpha beta alpha beta") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    w = {r.doc_id: r for r in smp.dsir_log_weights(df, target).collect()}
+    assert w[1].logw > 0       # pure target profile scores positive
+    assert w[2].logw < w[1].logw and w[2].logw < 0  # target-absent profile
+    assert w[2].logw < w[3].logw < w[1].logw        # mixed in between
+    assert w[4].logw == 0.0 and w[4].n_grams == 0
+
+    kept = {r.doc_id for r in smp.dsir_select(df, target).collect()}
+    assert 1 in kept and 2 not in kept and 4 not in kept
+
+    # repartition-stable (weights are content hashes + global counts)
+    w2 = {
+        r.doc_id: r.logw
+        for r in smp.dsir_log_weights(df.repartition(5), target).collect()
+    }
+    assert w2 == {k: v.logw for k, v in w.items()}
