@@ -198,8 +198,11 @@ def dsir_log_weights(
     Scale shape: two corpus aggregates produce ≤dim-row count tables; the
     per-bucket log-ratio table (raw LEFT JOIN tgt — every doc bucket
     exists in raw by construction) and the 1-row totals both broadcast;
-    the per-doc pass is explode → broadcast equi-join → hash re-aggregate
-    on the id. Nothing bigger than the exploded gram table ever moves."""
+    the per-doc pass is explode_outer → broadcast equi-join → hash
+    re-aggregate on the id. explode_outer keeps zero-gram docs as a
+    null-bucket row, so no corpus-sized join-back is ever needed —
+    nothing bigger than the exploded gram table moves, and the only
+    shuffle is the final per-doc aggregate."""
     raw = bucket_counts(df, text_col, dim, seed)
     tgt = bucket_counts(target, text_col, dim, seed)
     lr = (
@@ -218,28 +221,23 @@ def dsir_log_weights(
     )
     grams = df.select(
         F.col(id_col),
-        F.explode(hashed_ngram_buckets(text_col, dim, seed)).alias("bucket"),
+        F.explode_outer(
+            hashed_ngram_buckets(text_col, dim, seed)
+        ).alias("bucket"),
     )
     per_doc = (
-        grams.join(F.broadcast(lr), ["bucket"])
+        grams.join(F.broadcast(lr), ["bucket"], "left")
         .groupBy(id_col)
-        .agg(F.sum("lr").alias("_s"), F.count(F.lit(1)).alias("n_grams"))
+        .agg(
+            F.coalesce(F.sum("lr"), F.lit(0.0)).alias("_s"),
+            F.count("bucket").alias("n_grams"),
+        )
     )
     norm = F.log(F.col("rawN") + dim) - F.log(F.col("tgtN") + dim)
-    scored = per_doc.crossJoin(F.broadcast(totals)).select(
+    return per_doc.crossJoin(F.broadcast(totals)).select(
         id_col,
         "n_grams",
         F.round(F.col("_s") + F.col("n_grams") * norm, 6).alias("logw"),
-    )
-    # docs with zero grams carry weight 0 (no evidence either way)
-    return (
-        df.select(id_col)
-        .join(scored, [id_col], "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("logw", F.lit(0.0)).alias("logw"),
-        )
     )
 
 

@@ -258,3 +258,68 @@ def test_prefix_sum_data_window_is_bucket_partitioned(spark):
     )
     plan = _formatted(with_prefix_sum(df, bucket_size=10))
     assert "hashpartitioning(_bucket" in plan, plan
+
+
+def test_line_dedup_has_no_cartesian_and_no_python(spark):
+    from logsight_filebeat_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"header\nbody {i}\nfooter") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    plan = _formatted(line_dedup(docs))
+    for marker in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+    ):
+        assert marker not in plan, marker
+
+
+def test_bpe_pair_counts_is_one_aggregate_no_join(spark):
+    from logsight_filebeat_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    plan = _formatted(
+        bpe.pair_counts(bpe.word_freqs(docs), bpe.bpe_symbols("word"))
+    )
+    # word-freq agg + pair agg: hash aggregates only — no join, no sort,
+    # no Python stage anywhere in BPE's inner loop statistic
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Sort "):
+        assert marker not in plan, marker
+
+
+def test_bpe_doc_token_counts_is_pure_projection(spark):
+    from logsight_filebeat_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower")], "doc_id bigint, text string"
+    )
+    plan = _formatted(bpe.doc_token_counts(docs, [("l", "o"), ("lo", "w")]))
+    # merge chain applied in the scan projection: no explode, no join,
+    # no shuffle, no Python
+    for marker in ("Join", "Exchange", "Generate", "BatchEvalPython",
+                   "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_dsir_weights_broadcast_the_model_tables(spark):
+    from logsight_filebeat_spark.operators.sampling import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    plan = _formatted(dsir_log_weights(docs, docs.limit(10)))
+    # the ≤dim-row log-ratio table and the 1-row totals join via broadcast;
+    # the corpus-sized gram table must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
