@@ -246,6 +246,10 @@ CORPUS_QUERIES = (
     "dd_embed_lsh",
     "dd_curation",
     "dd_substring",
+    "dd_line_dedup",
+    "dd_incremental",
+    "dd_dsir",
+    "tx_bpe_learn",
     "tx_stats",
     "tx_gopher",
     "tx_repetition",
