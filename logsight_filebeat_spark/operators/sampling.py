@@ -257,3 +257,32 @@ def dsir_select(
     return df.join(
         w.filter(F.col("logw") > 0).select(id_col), [id_col], "left_semi"
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: int | str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    (shard, pos) — shard from its portable id hash, pos by hash order
+    within the shard (ties by id). The permutation is a pure function of
+    ids: stable across reruns, partitionings, and engines, so an
+    interrupted export resumes to byte-identical shards.
+
+    Scale shape: the window partitions BY SHARD — each sort is one
+    shard's rows (corpus/n_shards), never global; pick n_shards so a
+    shard fits an executor. For the write itself you'd skip pos and
+    ``partitionBy(shard) + sortWithinPartitions(h)`` — this operator is
+    the verifiable assignment table (exporters, resume logic, audits)."""
+    from pyspark.sql import Window
+
+    h = seeded_hash32(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

@@ -718,3 +718,20 @@ def test_dsir_weights_favor_target_like_docs(spark):
         for r in smp.dsir_log_weights(df.repartition(5), target).collect()
     }
     assert w2 == {k: v.logw for k, v in w.items()}
+
+
+def test_shard_assignments_deterministic_and_dense(spark):
+    from logsight_filebeat_spark.operators import sampling as smp
+
+    df = _docs(spark, [(i, f"t{i}") for i in range(200)])
+    a = sorted(map(tuple, smp.shard_assignments(df, n_shards=8).collect()))
+    b = sorted(
+        map(tuple, smp.shard_assignments(df.repartition(13), n_shards=8).collect())
+    )
+    assert a == b  # permutation is a pure function of ids
+    by_shard = {}
+    for _id, shard, pos in a:
+        assert 0 <= shard < 8
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1..n
