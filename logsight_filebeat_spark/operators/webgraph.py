@@ -1,0 +1,192 @@
+"""Web-graph operators over Common-Crawl-style pages: href extraction, edge
+lists, degree stats, and a deterministic fixed-point PageRank.
+
+The reference shipper (aiops/logsight-filebeat) has no graph stage — this
+suite belongs to the training-data surface the brief layers on top: link
+centrality is the classic crawl-derived page-quality prior (seed ranking /
+crawl prioritization in every Common-Crawl-descended corpus pipeline), and
+the edge list falls straight out of the html column the input_hint carries.
+
+Scale shapes (100 TB / 10^12 pages, 1000 executors):
+
+* ``extract_links`` is a scan-side projection: decode + one RE2-able regex
+  producing an array, then ``posexplode``. No shuffle; the html payload never
+  leaves its input partition (the edge list carries urls, not bytes).
+* ``link_edges`` / ``host_edges`` / degree aggregates are single hash
+  aggregates with map-side partials on (src, dst) / host keys.
+* ``pagerank`` is the standard edge-partitioned power iteration: per round
+  ONE equi-join of edges against the rank table on ``src`` plus ONE hash
+  aggregate on ``dst``. Ranks are persisted per round (each round's output
+  feeds both the contribution join and the dangling-mass aggregate; without
+  the persist the two consumers would re-derive the whole prior lineage
+  twice per round — exponential in rounds). The dangling-mass and constants
+  ride a broadcast 1-row aggregate, never a driver collect of data rows.
+
+Determinism: ranks are scaled BIGINTs (fixed point, ``scale`` = 1e12) and
+every division is integral (`div`). Integer arithmetic is associative, so
+results are bit-identical at any partitioning/parallelism AND across engines
+— a DuckDB oracle unrolling the same rounds with ``//`` reproduces every
+rank exactly, floors included. (Float PageRank cannot make that promise:
+summation order changes last bits.) The floor operations bleed a little
+probability mass per round — identically on both engines — so ranks are
+comparable within a run, which is all a ranking signal needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.functions.caching import track_persist
+from logsight_filebeat_spark.operators.enrich import url_host
+
+# the href shape the synthetic fixture (sources/pages.py) and any
+# double-quoted html attribute emit; capture group 1 = the target url.
+HREF_RE = r'href="([^"]+)"'
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """One row per href occurrence: (src_url, link_pos, dst_url).
+
+    Pure scan projection — binary html decodes to string, one
+    ``regexp_extract_all`` builds the per-page target array, ``posexplode``
+    emits edges. Pages with no hrefs simply produce no rows (they are the
+    dangling nodes of the graph).
+    """
+    arr = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(HREF_RE), F.lit(1)
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.posexplode(arr).alias("link_pos", "dst_url")
+    )
+
+
+def link_edges(links: DataFrame, drop_self: bool = True) -> DataFrame:
+    """Collapse href occurrences to weighted distinct edges:
+    (src_url, dst_url, n_hrefs). One hash aggregate on the pair key."""
+    e = links
+    if drop_self:
+        e = e.filter(F.col("src_url") != F.col("dst_url"))
+    return e.groupBy("src_url", "dst_url").agg(
+        F.count(F.lit(1)).alias("n_hrefs")
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Host-level projection of the link graph:
+    (src_host, dst_host, n_links) including self-host edges (intra-site
+    links are a real signal — e.g. nav-heavy templates)."""
+    return (
+        links.select(
+            url_host("src_url").alias("src_host"), url_host("dst_url").alias("dst_host")
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_degrees(links: DataFrame) -> DataFrame:
+    """Per-host out/in link totals: (host, out_links, in_links). Two hash
+    aggregates on host + one full-outer equi-join of the two small
+    per-host tables."""
+    out_d = (
+        links.groupBy(url_host("src_url").alias("host"))
+        .agg(F.count(F.lit(1)).alias("out_links"))
+    )
+    in_d = (
+        links.groupBy(url_host("dst_url").alias("host"))
+        .agg(F.count(F.lit(1)).alias("in_links"))
+    )
+    return (
+        out_d.join(in_d, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        )
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic fixed-point PageRank: (node, rank_scaled BIGINT).
+
+    Per round, for every node v:
+
+        rank'(v) = (100-d)·r0 div 100  +  d·(incoming(v) + dang div n) div 100
+
+    where r0 = scale div n is the uniform start mass, incoming(v) =
+    Σ_{(u,v)∈E} rank(u) div outdeg(u), and dang = Σ rank over nodes with no
+    out-edges. All divisions integral — see the module docstring for why
+    that buys bit-exact cross-engine reproducibility.
+
+    ``n_nodes`` is a required control-plane scalar (the caller typically
+    knows it; counting inside would force an extra job per call). Join
+    shape per round: edges ⋈ ranks on src (shuffle hash join, both sides
+    partitioned by src at scale) → hash agg on dst; the dangling sum is a
+    1-row aggregate broadcast into the rank update.
+    """
+    if n_nodes <= 0:
+        raise ValueError("n_nodes must be positive")
+    r0 = scale // n_nodes
+    base = (100 - damping_pct) * r0 // 100
+
+    outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select(F.col(node_col), F.lit(r0).cast("long").alias("rank"))
+
+    for _ in range(n_iter):
+        ranks = track_persist(ranks)
+        contrib = (
+            edges.join(ranks.withColumnRenamed(node_col, src_col), src_col)
+            .join(outdeg, src_col)
+            .select(
+                F.col(dst_col).alias(node_col),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy(node_col).agg(F.sum("c").alias("inc"))
+        dangling = (
+            ranks.join(
+                outdeg, ranks[node_col] == outdeg[src_col], "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum"))
+        )
+        ranks = (
+            nodes.select(node_col)
+            .join(incoming, node_col, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                node_col,
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inc, 0L)"
+                        f" + dsum div {n_nodes})) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select(F.col(node_col), F.col("rank").alias("rank_scaled"))
+
+
+def page_graph(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) of the page-level graph: nodes = every page url,
+    edges = distinct non-self (src, dst) href pairs."""
+    nodes = pages.select(F.col(url_col).alias("node")).distinct()
+    edges = (
+        link_edges(extract_links(pages, html_col, url_col))
+        .select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+    )
+    return nodes, edges

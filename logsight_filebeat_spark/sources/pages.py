@@ -69,6 +69,27 @@ def _pick(col, values: list[str], buckets: list[int] | None = None):
     return expr
 
 
+def _url_of(id_col, seed: int = 42):
+    """The page url as a pure Column function of the page id — reused by the
+    link generator so an anchor's href is byte-identical to its target
+    page's ``url`` value (what makes the synthetic link graph joinable).
+
+    Path fixture shapes: mostly /path/<app>/here (capturable); ~3% /path
+    (regex no-match); ~3% /path//here (empty capture) — mapper_test.go:203-222.
+    """
+    h = F.abs(F.xxhash64(id_col, F.lit(seed)))
+    h2 = F.abs(F.xxhash64(id_col, F.lit(seed + 1)))
+    host = _pick(h, HOSTS, HOST_BUCKETS)
+    app = _pick(h2, APPS)
+    path_kind = h % 32
+    path = (
+        F.when(path_kind == 0, F.lit("/path"))
+        .when(path_kind == 1, F.lit("/path//here"))
+        .otherwise(F.concat(F.lit("/path/"), app, F.lit("/here")))
+    )
+    return F.concat(F.lit("https://"), host, path, F.lit("?id="), id_col)
+
+
 def pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
     """Generate n deterministic pages. ``xxhash64(id, seed)`` drives every
     choice, so rows are independent of partitioning and ordering."""
@@ -81,15 +102,7 @@ def pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = 
     app = _pick(h2, APPS)
     lang = _pick(h3, LANGS)
 
-    # path fixture shapes: mostly /path/<app>/here (capturable); ~3% /path
-    # (regex no-match); ~3% /path//here (empty capture) — mapper_test.go:203-222
-    path_kind = h % 32
-    path = (
-        F.when(path_kind == 0, F.lit("/path"))
-        .when(path_kind == 1, F.lit("/path//here"))
-        .otherwise(F.concat(F.lit("/path/"), app, F.lit("/here")))
-    )
-    url = F.concat(F.lit("https://"), host, path, F.lit("?id="), F.col("id"))
+    url = _url_of(F.col("id"), seed)
 
     # warc_ts: uniform over 24 hour-buckets of 2024-03-01, sub-hour jitter
     warc_ts = F.timestamp_seconds(
@@ -121,11 +134,32 @@ def pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = 
         F.when(h % 2 == 0, extra_line).otherwise(F.lit("")),
     )
 
+    # outbound links: 0-3 deterministic <a href> anchors to OTHER pages in the
+    # same table (href == the target's exact url string, so the extracted edge
+    # list joins back to pages on equality). Targets are hash-spread, never
+    # self (offset in [1, n-1] mod n); because target hosts follow the same
+    # Zipf pick, hot hosts accumulate most in-links — a realistically skewed
+    # web graph for the webgraph operators.
+    n_links = h3 % 4
+    nav_parts = []
+    if n > 1:
+        for k in range(3):
+            t = (F.col("id") + 1 + (h2 + k * 2654435761) % (n - 1)) % n
+            anchor = F.concat(
+                F.lit(f'<a href="'), _url_of(t, seed), F.lit(f'">l{k}</a>')
+            )
+            nav_parts.append(F.when(n_links > k, anchor).otherwise(F.lit("")))
+    nav = (
+        F.concat(F.lit("<nav>"), *nav_parts, F.lit("</nav>"))
+        if nav_parts
+        else F.lit("<nav></nav>")
+    )
+
     html = F.encode(
         F.concat(
             F.lit("<html><head><title>"), app,
             F.lit("</title></head><body><pre>"), text,
-            F.lit("</pre></body></html>"),
+            F.lit("</pre>"), nav, F.lit("</body></html>"),
         ),
         "UTF-8",
     )

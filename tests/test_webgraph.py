@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logsight_filebeat_spark.operators import webgraph as wg
+
+
+@pytest.fixture()
+def toy_pages(spark):
+    mk = lambda *hrefs: (  # noqa: E731
+        "<html><body><pre>x</pre><nav>"
+        + "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        + "</nav></body></html>"
+    ).encode()
+    rows = [
+        ("u:A", mk("u:B", "u:C", "u:B")),  # duplicate href to B
+        ("u:B", mk("u:C", "u:B")),  # self link (dropped from edges)
+        ("u:C", mk()),  # dangling
+        ("u:D", b"<html><body>no nav</body></html>"),  # dangling, no nav
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_links_positions_and_targets(spark, toy_pages):
+    got = {
+        (r.src_url, r.link_pos, r.dst_url)
+        for r in wg.extract_links(toy_pages).collect()
+    }
+    assert got == {
+        ("u:A", 0, "u:B"),
+        ("u:A", 1, "u:C"),
+        ("u:A", 2, "u:B"),
+        ("u:B", 0, "u:C"),
+        ("u:B", 1, "u:B"),
+    }
+
+
+def test_link_edges_weights_and_self_drop(spark, toy_pages):
+    got = {
+        (r.src_url, r.dst_url): r.n_hrefs
+        for r in wg.link_edges(wg.extract_links(toy_pages)).collect()
+    }
+    assert got == {("u:A", "u:B"): 2, ("u:A", "u:C"): 1, ("u:B", "u:C"): 1}
+    # self links kept when asked
+    kept = wg.link_edges(wg.extract_links(toy_pages), drop_self=False)
+    assert ("u:B", "u:B") in {(r.src_url, r.dst_url) for r in kept.collect()}
+
+
+def _python_pagerank(nodes, edges, n_iter=3, d=85, scale=10**12):
+    """Single-threaded integer fixed-point oracle mirroring the operator."""
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (100 - d) * (scale // n) // 100
+    for _ in range(n_iter):
+        inc = {v: 0 for v in nodes}
+        for s, t in edges:
+            inc[t] += r[s] // out[s]
+        dang = sum(r[v] for v in nodes if v not in out)
+        r = {v: base + d * (inc[v] + dang // n) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_oracle_and_is_partition_stable(spark):
+    nodes = ["A", "B", "C", "D", "E"]
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("E", "C")]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    want = _python_pagerank(nodes, edges)
+    got = {
+        r.node: r.rank_scaled
+        for r in wg.pagerank(ndf, edf, n_nodes=5, n_iter=3).collect()
+    }
+    assert got == want
+    # integer arithmetic ⇒ bit-identical at any partitioning
+    got2 = {
+        r.node: r.rank_scaled
+        for r in wg.pagerank(
+            ndf.repartition(3), edf.repartition(2), n_nodes=5, n_iter=3
+        ).collect()
+    }
+    assert got2 == want
+    # the sink (C) outranks everything; dangling D ends at the floor
+    assert got["C"] == max(got.values())
+    assert got["D"] == min(got.values())
+
+
+def test_pagerank_all_dangling_uniform(spark):
+    ndf = spark.createDataFrame([("A",), ("B",)], "node string")
+    edf = spark.createDataFrame([], "src string, dst string")
+    got = {r.node: r.rank_scaled for r in wg.pagerank(ndf, edf, 2, n_iter=2).collect()}
+    assert got["A"] == got["B"]  # symmetric graph ⇒ identical ranks
+
+
+def test_pagerank_rejects_bad_n():
+    with pytest.raises(ValueError):
+        wg.pagerank(None, None, 0)
+
+
+def test_page_graph_on_fixture_joins_back(spark):
+    """Every synthetic href targets a real page url (sources/pages.py uses
+    the same _url_of for anchors and rows), so the edge list inner-joins
+    back to nodes with zero loss."""
+    from logsight_filebeat_spark.sources.pages import pages
+
+    pg = pages(spark, 200)
+    nodes, edges = wg.page_graph(pg)
+    n_edges = edges.count()
+    assert n_edges > 0
+    joined = edges.join(nodes.withColumnRenamed("node", "dst"), "dst").count()
+    assert joined == n_edges
+    # no self links by construction
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_pagerank_plan_shape(spark):
+    """The per-round join must be an equi-join on src — never a cartesian /
+    nested-loop over the edge list. (The 1-row dangling broadcast is the
+    only BroadcastNestedLoopJoin allowed.)"""
+    ndf = spark.createDataFrame([("A",), ("B",)], "node string")
+    edf = spark.createDataFrame([("A", "B")], "src string, dst string")
+    plan = (
+        wg.pagerank(ndf, edf, 2, n_iter=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
