@@ -286,3 +286,46 @@ def shard_assignments(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    max_per_key: int,
+    id_col: str,
+    seed: int | str = "keycap",
+    n_salt: int | None = None,
+) -> DataFrame:
+    """Per-key document cap (the Dolma/FineWeb-style per-domain spam
+    guard): keep at most ``max_per_key`` rows per key, chosen
+    deterministically — the rows with the smallest seeded id-hash (ties
+    by id). Membership is a pure function of (key, id): stable across
+    reruns, partitionings, and engines. Adds ``pos`` (1-based keep rank).
+
+    Scale shape: a plain partition-by-key window sends EVERY row of a hot
+    key through one task — exactly the skew this guard exists to fight.
+    ``n_salt`` enables the exact two-phase form: phase 1 ranks within
+    (key, salt) buckets (hot key split ``n_salt`` ways) and keeps
+    ``max_per_key`` per bucket; phase 2 re-ranks the surviving
+    ``≤ max_per_key·n_salt`` candidates per key. The k globally smallest
+    hashes of a key are each among their own bucket's k smallest, so the
+    result is IDENTICAL to the single-phase form — only the plan changes.
+    """
+    from pyspark.sql import Window
+
+    h = seeded_hash32(F.col(id_col).cast("string"), seed)
+    out = df.withColumn("_h", h)
+    if n_salt is not None:
+        salt = seeded_hash32(F.col(id_col).cast("string"), f"{seed}~salt") % n_salt
+        w1 = Window.partitionBy(key_col, salt).orderBy(
+            F.col("_h").asc(), F.col(id_col).asc()
+        )
+        out = out.withColumn("_rn1", F.row_number().over(w1)).filter(
+            F.col("_rn1") <= max_per_key
+        )
+    w = Window.partitionBy(key_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        out.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= max_per_key)
+        .drop("_h", "_rn1")
+    )
