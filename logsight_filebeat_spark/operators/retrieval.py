@@ -1,0 +1,130 @@
+"""Sparse keyword retrieval: inverted-index statistics and BM25 top-k.
+
+Complements the dense ANN stack (operators/similarity.py) with the lexical
+half of corpus search — the workhorse for decontamination forensics,
+targeted corpus audits ("show me the docs that score for this phrase"),
+and hybrid retrieval baselines.
+
+Scale shapes (100 TB corpus, small query set):
+
+* ``doc_term_freqs`` / ``term_doc_freqs`` are explode + hash aggregates on
+  (doc, term) / term — map-side partials, no joins.
+* ``bm25_scores`` joins the tf table against the BROADCAST query-term list
+  first, so only postings of queried terms survive into the score path
+  (the corpus-wide tf table never joins anything big); corpus constants
+  (N, avgdl) ride a broadcast 1-row aggregate.
+* ``bm25_topk``'s per-query window partitions on query_id over candidate
+  docs only (docs sharing ≥1 query term). For pathological stop-word
+  queries cap candidates with a tf floor or drop ubiquitous terms first
+  (`max_doc_freq`-style, see operators/dedup.py::jaccard_pairs).
+
+Determinism: scores are doubles (idf is a log), so exact cross-engine
+equality is NOT guaranteed bit-for-bit by IEEE alone; scores round to 1e-6
+(the dsir precedent) and ties rank by doc_id, which keeps the top-k and its
+ordering stable across engines and partitionings in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tok): lowercased whitespace tokens, empties dropped."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def doc_term_freqs(toks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tok, tf) — one hash aggregate."""
+    return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def term_doc_freqs(tf: DataFrame) -> DataFrame:
+    """(tok, df) document frequencies — tf is already distinct per (doc,
+    term), so a plain count."""
+    return tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+
+def doc_lengths(toks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl) token counts."""
+    return toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 with the non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; score rounded to 1e-6.
+
+    ``query_terms`` is a small (query_id, tok) DataFrame — broadcast into
+    the postings join so the corpus-side tf table is filtered to queried
+    terms before anything else happens.
+    """
+    toks = doc_tokens(docs, text_col, id_col)
+    tf = doc_term_freqs(toks, id_col)
+    dfreq = term_doc_freqs(tf)
+    dl = doc_lengths(toks, id_col)
+    consts = toks.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        (F.count(F.lit(1)) / F.countDistinct(id_col)).alias("avgdl"),
+    )
+
+    matched = (
+        tf.join(F.broadcast(query_terms), "tok")
+        .join(F.broadcast(dfreq.join(F.broadcast(query_terms.select("tok").distinct()), "tok")), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts))
+    )
+    comp = matched.select(
+        "query_id",
+        id_col,
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * (1.0 + k1))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        ).alias("c"),
+    )
+    return comp.groupBy("query_id", id_col).agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-k per query; ties and the
+    window order break on doc_id AFTER score rounding, so ranks are
+    engine- and partitioning-stable."""
+    scores = bm25_scores(docs, query_terms, text_col, id_col, k1, b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -1,0 +1,108 @@
+"""BM25 / inverted-index retrieval (operators/retrieval.py).
+
+Hand-computed BM25 oracle on a 4-doc corpus, plus plan-shape checks:
+the query-term join must broadcast and the ranking window must
+partition by query_id (no global single-task sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from logsight_filebeat_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    doc_term_freqs,
+    doc_tokens,
+    term_doc_freqs,
+)
+
+DOCS = [
+    (1, "spark join join hash"),
+    (2, "spark window agg"),
+    (3, "hash hash hash merge"),
+    (4, "customer query plan"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_doc_tokens_and_tf(spark, docs):
+    tf = {
+        (r.doc_id, r.tok): r.tf
+        for r in doc_term_freqs(doc_tokens(docs)).collect()
+    }
+    assert tf[(1, "join")] == 2
+    assert tf[(3, "hash")] == 3
+    assert tf[(2, "spark")] == 1
+    assert (1, "window") not in tf
+
+
+def test_term_doc_freqs(spark, docs):
+    dfreq = {
+        r.tok: r.df
+        for r in term_doc_freqs(doc_term_freqs(doc_tokens(docs))).collect()
+    }
+    assert dfreq["spark"] == 2
+    assert dfreq["hash"] == 2
+    assert dfreq["merge"] == 1
+
+
+def _bm25(tf: int, df: int, dl: int, n: int = 4, avgdl: float = 14 / 4,
+          k1: float = 1.2, b: float = 0.75) -> float:
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (1 + k1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_scores_hand_oracle(spark, docs):
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "hash")], "query_id string, tok string"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(docs, qt).collect()
+    }
+    # doc 1: spark tf=1 + hash tf=1, dl=4; doc 2: spark tf=1, dl=3;
+    # doc 3: hash tf=3, dl=4; doc 4: no match.
+    exp1 = round(_bm25(1, 2, 4) + _bm25(1, 2, 4), 6)
+    exp2 = round(_bm25(1, 2, 3), 6)
+    exp3 = round(_bm25(3, 2, 4), 6)
+    assert got[("q1", 1)] == pytest.approx(exp1, abs=2e-6)
+    assert got[("q1", 2)] == pytest.approx(exp2, abs=2e-6)
+    assert got[("q1", 3)] == pytest.approx(exp3, abs=2e-6)
+    assert ("q1", 4) not in got
+
+
+def test_bm25_topk_rank_and_tiebreak(spark, docs):
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "hash"), ("q2", "merge")],
+        "query_id string, tok string",
+    )
+    rows = bm25_topk(docs, qt, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    assert sorted(by_q["q2"]) == [(1, 3)]
+    ranks = sorted(by_q["q1"])
+    assert len(ranks) == 2 and [r for r, _ in ranks] == [1, 2]
+    # tie-break: equal rounded scores rank by doc_id ascending
+    tie_docs = spark.createDataFrame(
+        [(10, "alpha"), (5, "alpha"), (7, "beta")], "doc_id bigint, text string"
+    )
+    tq = spark.createDataFrame([("q", "alpha")], "query_id string, tok string")
+    tie = sorted((r.rank, r.doc_id) for r in bm25_topk(tie_docs, tq, k=5).collect())
+    assert tie == [(1, 5), (2, 10)]
+
+
+def test_bm25_plan_broadcasts_queries(spark, docs):
+    qt = spark.createDataFrame([("q1", "spark")], "query_id string, tok string")
+    plan = bm25_topk(docs, qt)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the ranking window partitions on query_id — not a global sort
+    assert "query_id" in plan
