@@ -261,6 +261,10 @@ CORPUS_QUERIES = (
     "ann_quantize",
     "mm_media_meta",
     "mm_features",
+    "wg_pagerank",
+    "pg_host_cap",
+    "dd_semdedup",
+    "ir_bm25",
 )
 
 

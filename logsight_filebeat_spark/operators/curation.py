@@ -154,6 +154,79 @@ def curation_report(curated: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("exact_dup", "near_dup", "low_quality", "lang_unknown", "kept")
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Stage-by-stage attrition accounting for the curation chain — the
+    FineWeb/Dolma-style ablation report an operator reads before trusting a
+    filtered corpus. Each document is labeled with the FIRST gate that
+    removes it (exact_dup → near_dup → low_quality → lang_unknown, in chain
+    order; survivors are 'kept'); output is one row per stage:
+    (stage, stage_idx, n_docs, pct).
+
+    Scale shape: the labeling is one pass over the same bounded-shuffle
+    primitives ``curate_corpus`` runs — the md5 keep-min aggregate joins
+    back on the 128-bit hash (equi-join), the greedy LSH drop list joins
+    back on id (left join against a distinct id set), quality/lang are
+    pure Columns in the scan — then ONE low-cardinality hash aggregate
+    (≤5 groups). The grand total for pct rides a broadcast 1-row
+    aggregate, not an unpartitioned window over data.
+    """
+    h = F.md5(F.col(text_col)).alias("_h")
+    base = df.select(F.col(id_col), F.col(text_col), h)
+    keep_min = base.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+    labeled = base.join(keep_min, "_h").withColumn(
+        "_exact_dup", F.col(id_col) != F.col("_keep")
+    )
+
+    d1 = labeled.filter(~F.col("_exact_dup")).select(id_col, text_col)
+    pairs = minhash_lsh_pairs(
+        d1, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    )
+    drop = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_near_dup", F.lit(True))
+    )
+
+    stage = (
+        F.when(F.col("_exact_dup"), F.lit("exact_dup"))
+        .when(F.coalesce(F.col("_near_dup"), F.lit(False)), F.lit("near_dup"))
+        .when(tx.quality_score(text_col) < min_quality, F.lit("low_quality"))
+        .when(tx.lang_id(text_col) == "und", F.lit("lang_unknown"))
+        .otherwise(F.lit("kept"))
+    )
+    per_stage = (
+        labeled.join(drop, [id_col], "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = per_stage.agg(F.sum("n_docs").alias("_total"))
+    idx = F.lit(None).cast("int")
+    for i, name in enumerate(FUNNEL_STAGES):
+        idx = F.when(F.col("stage") == name, F.lit(i)).otherwise(idx)
+    return (
+        per_stage.crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            idx.alias("stage_idx"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("pct"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

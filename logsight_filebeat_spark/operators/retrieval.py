@@ -107,6 +107,55 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al. 2009):
+    (query_id, doc_id, rrf_score, rank) with
+    ``rrf_score = Σ_lists 1/(k_rrf + rank_in_list)`` over the lists a doc
+    appears in.
+
+    Each input is a (query_id, id_col, rank) DataFrame (e.g. ``bm25_topk``
+    and a dense ANN top-k) — the hybrid-retrieval baseline.
+
+    Determinism: lists are folded with full-outer equi-joins on
+    (query_id, id) and contributions are ADDED IN LIST ORDER as a fixed
+    Column expression — never a floating-point SUM aggregate whose
+    accumulation order depends on partitioning — so the fused score is
+    bit-identical at any parallelism and across engines. Scale shape:
+    every join keys on (query_id, id) over candidate rows only (≤ topk ×
+    n_queries per list), so the fuse stage is tiny regardless of corpus
+    size; the cost lives in the upstream retrievers."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    cur = None
+    for i, df in enumerate(ranked):
+        r = df.select("query_id", id_col, F.col("rank").alias(f"_r{i}"))
+        cur = r if cur is None else cur.join(
+            r, ["query_id", id_col], "full_outer"
+        )
+    score = None
+    for i in range(len(ranked)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    scores = cur.select(
+        "query_id", id_col, F.round(score, 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", id_col, "rrf_score", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: DataFrame,

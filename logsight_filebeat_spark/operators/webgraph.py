@@ -74,6 +74,53 @@ def link_edges(links: DataFrame, drop_self: bool = True) -> DataFrame:
     )
 
 
+# full anchor tag: group 1 = target url, group 2 = the anchor text (the
+# visible text between <a ...> and </a>; [^<]* keeps it regex-cheap — nested
+# markup inside an anchor ends the capture, matching the extraction cost
+# budget of a scan-stage projection)
+ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """One row per anchor tag: (src_url, dst_url, anchor).
+
+    Spark's ``regexp_extract_all`` returns one capture group per call, so
+    the target-url and anchor-text arrays are extracted separately from the
+    same pattern and zipped positionally — both calls run in the same scan
+    projection over the html bytes (which never shuffle), and the zip +
+    single explode keeps it one pass."""
+    h = F.col(html_col).cast("string")
+    z = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(1)).alias("dst_url"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(2)).alias("anchor"),
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.explode(z).alias("a")
+    ).select("src_url", F.col("a.dst_url").alias("dst_url"), F.col("a.anchor").alias("anchor"))
+
+
+def anchor_profile(anchors: DataFrame, drop_self: bool = True) -> DataFrame:
+    """Inbound anchor-text profile per target page:
+    (dst_url, n_anchors, n_sources, anchor_texts) — the classic crawl-graph
+    relevance/quality signal (what OTHER pages call this page).
+
+    One hash aggregate on dst_url; ``anchor_texts`` is the sorted distinct
+    anchor strings (deterministic across partitionings — collect_set order
+    is not, array_sort pins it). At 100 TB the distinct-set per popular
+    page is bounded by anchor vocabulary, not inlink count; cap with a
+    pre-aggregate doc-freq filter if a hot page's vocabulary is adversarial."""
+    a = anchors
+    if drop_self:
+        a = a.filter(F.col("src_url") != F.col("dst_url"))
+    return a.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_url").alias("n_sources"),
+        F.array_sort(F.collect_set("anchor")).alias("anchor_texts"),
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """Host-level projection of the link graph:
     (src_host, dst_host, n_links) including self-host edges (intra-site

@@ -210,6 +210,47 @@ def test_curate_corpus_chain(spark):
     release_persisted()
 
 
+def test_curation_funnel_accounts_for_every_doc(spark):
+    """Funnel labels each doc with its first-failing gate; counts reconcile
+    with the survivor set curate_corpus returns on the same fixture."""
+    from logsight_filebeat_spark.operators.curation import (
+        curate_corpus,
+        curation_funnel,
+    )
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    good = (
+        "the quick brown fox jumps over a lazy dog in the misty morning light"
+    )
+    rows = [
+        (1, good),
+        (2, good),                # exact dup
+        (3, good + " tonight"),   # near-dup (higher id)
+        (4, "!!! ??? ### ..."),   # quality gate
+        (5, "qzx wvu jkl mno pqr stu vwx yzq abc def ghi jkl mno pqr stu"),
+        (6, "der Hund und die Katze spielen gerne zusammen in dem grossen Garten draussen heute"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fun = {
+        r.stage: r
+        for r in curation_funnel(df, num_hashes=8, bands=4).collect()
+    }
+    assert fun["exact_dup"].n_docs == 1
+    assert fun["near_dup"].n_docs == 1
+    assert fun["low_quality"].n_docs == 1
+    assert fun["lang_unknown"].n_docs == 1
+    assert fun["kept"].n_docs == 2
+    assert sum(r.n_docs for r in fun.values()) == len(rows)
+    assert abs(sum(r.pct for r in fun.values()) - 1.0) < 1e-5
+    assert [fun[s].stage_idx for s in
+            ("exact_dup", "near_dup", "low_quality", "lang_unknown", "kept")
+            ] == [0, 1, 2, 3, 4]
+    # kept count reconciles with the survivor set of the same chain
+    kept = curate_corpus(df, min_quality=0.5, num_hashes=8, bands=4).count()
+    assert fun["kept"].n_docs == kept
+    release_persisted()
+
+
 def test_substring_dup_stats(spark):
     """Docs sharing a verbatim width-token run are flagged position-exactly;
     short docs have zero windows; unrelated docs have zero dup windows."""

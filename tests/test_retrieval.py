@@ -106,3 +106,51 @@ def test_bm25_plan_broadcasts_queries(spark, docs):
     assert "CartesianProduct" not in plan
     # the ranking window partitions on query_id — not a global sort
     assert "query_id" in plan
+
+
+def test_rrf_fuse_hand_oracle(spark):
+    from logsight_filebeat_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    den = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    got = {r.doc_id: r for r in rrf_fuse([lex, den], k_rrf=60).collect()}
+    # doc 2 appears in both lists → highest fused score
+    assert got[2].rrf_score == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9
+    )
+    assert got[1].rrf_score == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    assert got[4].rrf_score == pytest.approx(round(1 / 62, 6), abs=1e-9)
+    assert got[2].rank == 1
+    # single-list docs ranked by score then doc_id: 1/61 (doc 1) > 1/62
+    # (doc 4) > 1/63 (doc 3)
+    assert [got[i].rank for i in (1, 4, 3)] == [2, 3, 4]
+
+
+def test_rrf_fuse_topk_and_partition_stability(spark):
+    from logsight_filebeat_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 20)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    den = spark.createDataFrame(
+        [("q", 100 - i, i) for i in range(1, 20)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    a = sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.rank)
+        for r in rrf_fuse([lex, den], topk=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.rank)
+        for r in rrf_fuse(
+            [lex.repartition(7), den.repartition(3)], topk=5
+        ).collect()
+    )
+    assert a == b and len(a) == 5

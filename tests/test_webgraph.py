@@ -127,3 +127,42 @@ def test_pagerank_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    rows = [
+        (
+            "u:A",
+            b'<p><a href="u:B">first link</a> and <a href="u:C"></a>'
+            b' then <a href="u:B">other words</a></p>',
+        ),
+        ("u:B", b'<a href="u:A">back</a><a href="u:B">self</a>'),
+        ("u:C", b"<p>no anchors</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r.src_url, r.dst_url, r.anchor)
+        for r in wg.extract_anchors(pages).collect()
+    }
+    assert got == {
+        ("u:A", "u:B", "first link"),
+        ("u:A", "u:C", ""),  # empty anchor text still pairs positionally
+        ("u:A", "u:B", "other words"),
+        ("u:B", "u:A", "back"),
+        ("u:B", "u:B", "self"),
+    }
+
+
+def test_anchor_profile_counts_and_sorted_texts(spark):
+    rows = [
+        ("u:A", b'<a href="u:T">zeta</a><a href="u:T">alpha</a>'),
+        ("u:B", b'<a href="u:T">alpha</a>'),
+        ("u:T", b'<a href="u:T">me</a>'),  # self anchor dropped
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    prof = {r.dst_url: r for r in
+            wg.anchor_profile(wg.extract_anchors(pages)).collect()}
+    assert set(prof) == {"u:T"}
+    t = prof["u:T"]
+    assert t.n_anchors == 3 and t.n_sources == 2
+    assert t.anchor_texts == ["alpha", "zeta"]  # distinct + sorted
