@@ -329,3 +329,68 @@ def per_key_cap(
         .filter(F.col("pos") <= max_per_key)
         .drop("_h", "_rn1")
     )
+
+
+def quantile_threshold(
+    df: DataFrame, score_col: str, q: float
+) -> DataFrame:
+    """Exact q-quantile of a LOW-CARDINALITY score column as a 1-row
+    DataFrame (threshold) — no global sort of the data.
+
+    Definition (exact, engine-portable): the smallest score value v such
+    that ``count(score <= v) >= ceil(q * n)``. Works on scores that have
+    been rounded to a fixed precision (the repo convention is 1e-6), so the
+    distinct-value table is bounded by the score domain, not the corpus:
+    two phases, (1) a value histogram — one hash aggregate with map-side
+    partials — then (2) a cumulative sum over that tiny distinct-value
+    table. The running-sum window IS unpartitioned, but over ≤|score
+    domain| rows (same justification as the per-bucket offset table in
+    operators/packing.py), never over the data.
+
+    This is the exact alternative to ``approxQuantile``/``percentile_approx``
+    whose sketch contents are engine-private and partition-dependent — a
+    threshold derived here reproduces bit-for-bit on rerun, at any
+    parallelism, and in DuckDB.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(F.col(score_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = (
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "_v",
+        F.sum("_n").over(w).alias("_cum"),
+        F.sum("_n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    return (
+        cum.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_total")))
+        .agg(F.min("_v").alias("threshold"))
+    )
+
+
+def quantile_gate(
+    df: DataFrame, score_col: str, keep_top: float
+) -> DataFrame:
+    """Keep the top ``keep_top`` fraction of rows by score: rows with
+    ``score >= quantile_threshold(1 - keep_top)``. Ties at the boundary are
+    kept, so ``keep_top`` is a LOWER bound on the kept fraction — a tie
+    block spanning the quantile survives whole (deterministic, unlike
+    row_number-based cuts whose tie resolution needs a secondary key).
+    The 1-row threshold rides a broadcast join — the corpus never sorts,
+    never shuffles."""
+    thr = quantile_threshold(df, score_col, 1.0 - keep_top)
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(score_col) >= F.col("threshold"))
+        .drop("threshold")
+    )

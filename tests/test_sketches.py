@@ -86,3 +86,64 @@ def test_per_key_cap_keeps_small_keys_whole_and_is_stable(spark):
         r.pos for r in kept.filter(F.col("key") == "big").collect()
     )
     assert poss == list(range(1, 11))
+
+
+def test_quantile_threshold_exact_definition(spark):
+    """Threshold = smallest v with count(<= v) >= ceil(q*n), on a value
+    multiset with ties; python recomputes the same definition."""
+    import math
+
+    from logsight_filebeat_spark.operators.sampling import quantile_threshold
+
+    vals = [0.1, 0.1, 0.2, 0.5, 0.5, 0.5, 0.7, 0.9, 0.9, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+        got = quantile_threshold(df, "score", q).collect()[0].threshold
+        need = math.ceil(q * len(vals))
+        exp = min(
+            v for v in set(vals)
+            if sum(1 for x in vals if x <= v) >= need
+        )
+        assert got == exp, (q, got, exp)
+
+
+def test_quantile_gate_keep_top_with_ties(spark):
+    from logsight_filebeat_spark.operators.sampling import quantile_gate
+
+    rows = [(i, float(i)) for i in range(1, 101)]  # scores 1..100, no ties
+    df = spark.createDataFrame(rows, "id bigint, score double")
+    kept = sorted(r.id for r in quantile_gate(df, "score", 0.25).collect())
+    assert kept == list(range(75, 101))  # 0.75-quantile=75 → 75..100 kept
+    # ties at the boundary ARE kept (documented semantics): with 80 docs at
+    # score 1.0 the 0.75-quantile lands inside the tie block, so the whole
+    # block survives — keep_top is a LOWER bound on the kept fraction
+    tied = spark.createDataFrame(
+        [(i, 1.0 if i <= 80 else 2.0) for i in range(1, 101)],
+        "id bigint, score double",
+    )
+    kept2 = {r.id for r in quantile_gate(tied, "score", 0.25).collect()}
+    assert kept2 == set(range(1, 101))
+    # a tie block strictly below the threshold is excluded
+    tied_lo = spark.createDataFrame(
+        [(i, 1.0 if i <= 40 else float(i)) for i in range(1, 101)],
+        "id bigint, score double",
+    )
+    kept_lo = {r.id for r in quantile_gate(tied_lo, "score", 0.25).collect()}
+    assert kept_lo == set(range(75, 101))
+    # repartitioning never changes the keep set
+    kept3 = sorted(
+        r.id for r in quantile_gate(df.repartition(13), "score", 0.25).collect()
+    )
+    assert kept3 == kept
+
+
+def test_quantile_threshold_rejects_bad_q(spark):
+    import pytest as _pytest
+
+    from logsight_filebeat_spark.operators.sampling import quantile_threshold
+
+    df = spark.createDataFrame([(1.0,)], "score double")
+    with _pytest.raises(ValueError):
+        quantile_threshold(df, "score", 0.0)
+    with _pytest.raises(ValueError):
+        quantile_threshold(df, "score", 1.5)
