@@ -226,6 +226,89 @@ def pagerank(
     return ranks.select(F.col(node_col), F.col("rank").alias("rank_scaled"))
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    scale: int = 10**6,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic fixed-point HITS (Kleinberg 1999):
+    (node, hub_scaled BIGINT, auth_scaled BIGINT).
+
+    Per round:  auth_raw(v) = Σ_{(u,v)∈E} hub(u), then L1-renormalize to
+    total mass ``scale·n`` via ``auth = auth_raw·scale·n div Σ auth_raw``;
+    hubs update symmetrically from the fresh auths. All-integer arithmetic
+    (exact sums in any accumulation order, truncating div) makes every
+    score bit-identical across partitionings AND engines — the same
+    property the ``pagerank`` fixed point pins.
+
+    Overflow bound: values ≤ scale·n after each renormalize, raw sums
+    ≤ scale·n·maxdeg, and the renormalize multiplies by scale·n — keep
+    ``(scale·n)² · maxdeg < 2^63`` (the 10^6 default holds to ~10^5 nodes
+    per verification graph; production graphs renormalize with div-first
+    ordering or a wider scale split). Join shape per round: two edge⋈score
+    equi-joins (shuffle-hash at scale, both sides partitionable on the
+    join key) + two dst/src hash aggregates; each total rides a broadcast
+    1-row aggregate. No global sort, no cross join, no collect.
+    """
+    total_mass = None  # Σ scores after renormalize == n·scale, a constant
+    hubs = nodes.select(F.col(node_col), F.lit(scale).cast("long").alias("h"))
+    auths = nodes.select(F.col(node_col), F.lit(scale).cast("long").alias("a"))
+    for _ in range(n_iter):
+        hubs = track_persist(hubs)
+        a_raw = (
+            edges.join(
+                hubs.withColumnRenamed(node_col, src_col), src_col
+            )
+            .groupBy(F.col(dst_col).alias(node_col))
+            .agg(F.sum("h").alias("raw"))
+        )
+        auths = _hits_renorm(nodes, a_raw, scale, node_col, "a")
+        auths = track_persist(auths)
+        h_raw = (
+            edges.join(
+                auths.withColumnRenamed(node_col, dst_col), dst_col
+            )
+            .groupBy(F.col(src_col).alias(node_col))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hubs = _hits_renorm(nodes, h_raw, scale, node_col, "h")
+    return (
+        hubs.join(auths, node_col)
+        .select(
+            node_col,
+            F.col("h").alias("hub_scaled"),
+            F.col("a").alias("auth_scaled"),
+        )
+    )
+
+
+def _hits_renorm(
+    nodes: DataFrame, raw: DataFrame, scale: int, node_col: str, out: str
+) -> DataFrame:
+    """L1 renormalize raw scores to total mass n·scale (integral):
+    ``score = raw · scale · n div max(Σ raw, 1)`` — the total and n ride
+    ONE broadcast 1-row aggregate; zero-degree nodes score 0."""
+    tot = raw.agg(
+        F.coalesce(F.sum("raw"), F.lit(0)).alias("_tot"),
+    ).crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n"))))
+    return (
+        nodes.select(node_col)
+        .join(raw, node_col, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            node_col,
+            F.expr(
+                f"(coalesce(raw, 0L) * {scale} * _n)"
+                " div greatest(_tot, 1L)"
+            ).cast("long").alias(out),
+        )
+    )
+
+
 def page_graph(
     pages: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> tuple[DataFrame, DataFrame]:

@@ -166,3 +166,40 @@ def test_anchor_profile_counts_and_sorted_texts(spark):
     t = prof["u:T"]
     assert t.n_anchors == 3 and t.n_sources == 2
     assert t.anchor_texts == ["alpha", "zeta"]  # distinct + sorted
+
+
+def test_hits_hub_authority_separation(spark):
+    """Classic bipartite shape: H links to A1-A3, H2 to A1 only → A1 is the
+    strongest authority, H the strongest hub; pure sinks have zero hub
+    score, pure sources zero authority."""
+    nodes = spark.createDataFrame(
+        [(n,) for n in ["H", "H2", "A1", "A2", "A3"]], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("H", "A1"), ("H", "A2"), ("H", "A3"), ("H2", "A1")],
+        "src string, dst string",
+    )
+    got = {r.node: r for r in wg.hits(nodes, edges, n_iter=2).collect()}
+    assert got["A1"].auth_scaled > got["A2"].auth_scaled > 0
+    assert got["A2"].auth_scaled == got["A3"].auth_scaled
+    assert got["H"].hub_scaled > got["H2"].hub_scaled > 0
+    assert all(got[a].hub_scaled == 0 for a in ("A1", "A2", "A3"))
+    assert all(got[h].auth_scaled == 0 for h in ("H", "H2"))
+    # L1 mass is conserved by the integral renormalize (up to div floors)
+    n, scale = 5, 10**6
+    assert sum(r.auth_scaled for r in got.values()) <= n * scale
+    assert n * scale - sum(r.auth_scaled for r in got.values()) < n
+
+    # bit-stable under repartitioning
+    again = {
+        r.node: (r.hub_scaled, r.auth_scaled)
+        for r in wg.hits(
+            nodes.repartition(3), edges.repartition(5), n_iter=2
+        ).collect()
+    }
+    assert again == {
+        k: (v.hub_scaled, v.auth_scaled) for k, v in got.items()
+    }
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
+    release_persisted()
