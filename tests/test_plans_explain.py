@@ -323,3 +323,83 @@ def test_dsir_weights_broadcast_the_model_tables(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hits_rounds_are_hash_joins_no_cartesian_no_sort(spark):
+    """Each HITS half-round is an equi-join + hash aggregate; the
+    renormalize totals are broadcast 1-row joins — never a cartesian over
+    data, never a global sort."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.webgraph import hits
+
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(50)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 50}") for i in range(50)],
+        "src string, dst string",
+    )
+    plan = _formatted(hits(nodes, edges, n_iter=1))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # the only nested-loop joins are the broadcast 1-row renormalize
+    # totals (Cross BuildRight); a data-sized nested loop would print
+    # without a broadcast build side
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", plan):
+        assert m.group(2) in ("BuildRight", "BuildLeft"), m.group(0)
+    release_persisted()
+
+
+def test_quantile_gate_never_sorts_the_data(spark):
+    """The only Sort allowed is inside the running-sum window over the
+    distinct-score table (post-aggregate); the corpus path is scan →
+    hash aggregate → broadcast-joined filter."""
+    from logsight_filebeat_spark.operators.sampling import quantile_gate
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(200)], "id bigint, score double"
+    )
+    plan = _formatted(quantile_gate(df, "score", 0.25))
+    assert "CartesianProduct" not in plan
+    # the threshold join must broadcast (1 row), not shuffle the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # every Sort in the plan feeds the window over the aggregated
+    # distinct-value table, which sits BELOW a HashAggregate — the raw
+    # data is never globally sorted: assert the scan side reaches the
+    # filter through no Sort by checking the aggregate appears
+    assert "HashAggregate" in plan
+
+
+def test_bm25_corpus_side_joins_are_never_nested_loop(spark):
+    from logsight_filebeat_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} filler") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    qt = spark.createDataFrame(
+        [("q1", "tok1"), ("q2", "tok2")], "query_id string, tok string"
+    )
+    plan = _formatted(bm25_topk(docs, qt, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curation_funnel_is_one_low_cardinality_aggregate(spark):
+    """The funnel's per-doc labeling joins on hash/id keys only; the final
+    aggregate is over the stage label. No cartesian, no global sort of
+    the docs."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.curation import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 25} with more words here")
+         for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    plan = _formatted(curation_funnel(docs))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    release_persisted()
