@@ -97,6 +97,15 @@ def _session(cores: int, aqe: bool = True):
     extra = {"spark.sql.session.timeZone": "UTC"}
     if not aqe:
         extra["spark.sql.adaptive.enabled"] = "false"
+    # Scan-wave packing: Spark bins input files into scan partitions by
+    # TOTAL file bytes (pruned columns included) capped at
+    # files.maxPartitionBytes (128 MB). With the 8-core child that cap can
+    # land the sf0.1 pages table on cores+2 bins — two task waves, the
+    # second nearly idle, a measured 1.5× makespan hit that reads as fake
+    # scaling loss. Lower the cap so every level gets many bins per core
+    # (fine waves, <5% raggedness) — the same tasks ≫ cores sizing rule a
+    # real cluster job applies at 100 TB.
+    extra["spark.sql.files.maxPartitionBytes"] = str(16 * 1024 * 1024)
     return get_spark(
         app_name=f"bench-local-{cores}",
         master=f"local[{cores}]",

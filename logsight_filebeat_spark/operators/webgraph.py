@@ -189,7 +189,16 @@ def pagerank(
     r0 = scale // n_nodes
     base = (100 - damping_pct) * r0 // 100
 
-    outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges/nodes/outdeg are re-read every round (edges twice: contrib join
+    # + dangling anti-join); without a persist each action re-derives them
+    # from source — for page graphs that is the href regex over the raw
+    # html corpus, re-paid n_iter times. Tracked persists (caller releases
+    # via functions/caching.release_persisted) cut the lineage once.
+    edges = track_persist(edges)
+    nodes = track_persist(nodes)
+    outdeg = track_persist(
+        edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    )
     ranks = nodes.select(F.col(node_col), F.lit(r0).cast("long").alias("rank"))
 
     for _ in range(n_iter):
@@ -254,7 +263,10 @@ def hits(
     join key) + two dst/src hash aggregates; each total rides a broadcast
     1-row aggregate. No global sort, no cross join, no collect.
     """
-    total_mass = None  # Σ scores after renormalize == n·scale, a constant
+    # edges and nodes feed two joins per round — persist so the page-graph
+    # href extraction (the expensive upstream) runs once, not 2·n_iter times
+    edges = track_persist(edges)
+    nodes = track_persist(nodes)
     hubs = nodes.select(F.col(node_col), F.lit(scale).cast("long").alias("h"))
     auths = nodes.select(F.col(node_col), F.lit(scale).cast("long").alias("a"))
     for _ in range(n_iter):

@@ -71,6 +71,8 @@ def main(names: list[str]) -> int:
     oracles = entry.oracle_sql()
     targets = names or list(queries)
     failures = 0
+    from logsight_filebeat_spark.functions.caching import release_persisted
+
     for name in targets:
         t0 = time.time()
         try:
@@ -81,6 +83,11 @@ def main(names: list[str]) -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # queries that persist self-join projections (LSH signatures,
+            # graph edges) leave tracked caches behind; release per query
+            # so the full 98-entry sweep doesn't accumulate executor memory
+            release_persisted()
         if name not in oracles:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue
