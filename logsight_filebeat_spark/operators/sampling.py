@@ -331,6 +331,68 @@ def per_key_cap(
     )
 
 
+# A-ES key hash space: 32-bit hash + 1 over 2^32 + 1 keeps u strictly in
+# (0, 1) so pow(u, 1/w) never degenerates to 0 or 1.
+AES_SPACE = float((1 << 32) + 1)
+
+
+def aes_key(
+    id_col: Column | str, weight_col: Column | str, seed: str = "aes:v1"
+) -> Column:
+    """The Efraimidis–Spirakis weighted-sampling key u^(1/w): u is the
+    row's deterministic hash-uniform in (0,1), w its weight. The k largest
+    keys ARE a weighted sample without replacement (A-ES, Efraimidis &
+    Spirakis 2006) — and because u comes from the portable hash family
+    instead of an RNG, the draw is a pure function of (seed, id): stable
+    under reruns, repartitioning, and engines, like every sampler here.
+    DuckDB mirror: ``pow((('0x' || substr(md5('<seed>:' || id), 1, 8))::bigint
+    + 1) / 4294967297.0, 1.0 / w)``. Cross-engine float caveat: division is
+    exact IEEE in both engines and pow is ≤1 ulp — order flips would need
+    two keys within ~1e-16 relative, below any realistic collision."""
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    u = (seeded_hash32(i.cast("string"), seed) + 1).cast("double") / F.lit(AES_SPACE)
+    return F.pow(u, F.lit(1.0) / w)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    seed: str = "aes:v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows with
+    the largest A-ES keys, per stratum when ``strata_col`` is given —
+    inclusion probability proportional to weight, reproducible anywhere
+    (the training-mixture form of "sample 1M docs favouring high-quality
+    ones"). Non-positive weights are excluded (never sampleable). Adds
+    ``key`` (rounded 1e-6, for audits) and ``rank`` (1-based, key desc).
+
+    Scale shape: the key is a pure Column in the scan. Per-stratum the
+    top-k is a window shuffled BY STRATUM (each sort sees one stratum's
+    rows); global top-k plans as a distributed TakeOrderedAndProject via
+    ``orderBy().limit()`` — the final rank window then orders ≤k rows,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    key = aes_key(id_col, weight_col, seed)
+    base = df.filter(F.col(weight_col) > 0).withColumn("_key", key)
+    order = [F.col("_key").desc(), F.col(id_col).asc()]
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(*order)
+        out = base.withColumn("rank", F.row_number().over(win)).filter(
+            F.col("rank") <= k
+        )
+    else:
+        top = base.orderBy(*order).limit(k)
+        out = top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    return out.withColumn("key", F.round(F.col("_key"), 6)).drop("_key")
+
+
 def quantile_threshold(
     df: DataFrame, score_col: str, q: float
 ) -> DataFrame:

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logsight_filebeat_spark.functions.caching import track_persist
+
 KMV_SPACE = 1 << 40  # 40-bit hash space (see module docstring)
 
 
@@ -63,6 +65,95 @@ def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.distinct().orderBy("h").limit(k)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str = "value",
+    k: int = 20,
+    budget: int = 4096,
+) -> DataFrame:
+    """EXACT global top-k heavy hitters (value, cnt, rank) without ever
+    shuffling the full value multiset — the SpaceSaving/Misra-Gries
+    candidate pass fused with an exact recount.
+
+    At 100 TB a naive ``groupBy(value).count().orderBy().limit(k)`` shuffles
+    one row per DISTINCT value per map partition — for n-grams that is the
+    corpus again. Two bounded passes instead:
+
+    1. **Candidates** (mapInPandas, Arrow-batched): each partition counts
+       its own values in a dict and emits only its local top-``budget``
+       (ties broken by value for determinism) plus ONE residual row — the
+       (budget+1)-th local count, an upper bound on the local count of
+       anything it did NOT emit. Output is ≤ (budget+1) rows/partition.
+    2. **Recount**: the scan runs again filtered to the candidate set
+       (broadcast hash semi-join — no shuffle of non-candidates) and
+       re-aggregates exactly; top-k of that is a distributed
+       TakeOrderedAndProject.
+
+    Exactness is PROVEN row-by-row, lazily, inside the plan: a value never
+    emitted by any partition has global count ≤ Σ residual bounds, so every
+    top-k row with ``cnt > Σ bounds`` provably outranks all non-candidates.
+    The emitted rows are filtered on exactly that predicate — counts
+    decrease with rank, so what survives is a prefix with exact counts AND
+    exact ranks. An undersized ``budget`` truncates the prefix (visibly —
+    fewer than k rows) rather than silently returning wrong ranks; the
+    result is therefore partitioning-independent and engine-reproducible.
+    Sizing: a value with global frequency ≥ N_p/budget of its partition's
+    rows is always a candidate; budget=4096 covers every realistic
+    top-20 ask over natural-language grams.
+
+    The final rank window orders ≤k rows (post-limit), never the data."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    schema = StructType(
+        [StructField("value", StringType()), StructField("cnt", LongType())]
+    )
+
+    def local_tops(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["value"])
+        items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = items[:budget]
+        bound = items[budget][1] if len(items) > budget else 0
+        out = pd.DataFrame(rows, columns=["value", "cnt"])
+        # the residual row: value NULL, cnt = local bound on non-emitted
+        yield pd.concat(
+            [out, pd.DataFrame([{"value": None, "cnt": bound}])],
+            ignore_index=True,
+        )
+
+    local = track_persist(src.mapInPandas(local_tops, schema))
+    cands = local.filter(F.col("value").isNotNull()).select("value").distinct()
+    missed = local.filter(F.col("value").isNull()).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_missed_bound")
+    )
+    exact = (
+        src.join(F.broadcast(cands), ["value"])
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = exact.orderBy(F.col("cnt").desc(), F.col("value").asc()).limit(k)
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(missed))
+        .filter(F.col("cnt") > F.col("_missed_bound"))
+        .drop("_missed_bound")
+    )
 
 
 def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:

@@ -776,3 +776,69 @@ def test_shard_assignments_deterministic_and_dense(spark):
         by_shard.setdefault(shard, []).append(pos)
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1..n
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _aes_key(doc_id, w, seed="aes:v1"):
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
+    return ((h + 1) / 4294967297.0) ** (1.0 / w)
+
+
+def test_weighted_sample_matches_python_model_per_stratum(spark):
+    from logsight_filebeat_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"g{i % 3}", 10 + (i * 7) % 90) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    got = {
+        (r.grp, r.doc_id, r.rank)
+        for r in weighted_sample(
+            df, k=4, weight_col="w", strata_col="grp"
+        ).collect()
+    }
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        members = [(i, w) for i, grp, w in rows if grp == g]
+        ranked = sorted(members, key=lambda t: (-_aes_key(t[0], t[1]), t[0]))
+        want |= {(g, i, r + 1) for r, (i, _) in enumerate(ranked[:4])}
+    assert got == want
+
+
+def test_weighted_sample_global_and_weight_monotonicity(spark):
+    from logsight_filebeat_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 900 else 1000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = [r.doc_id for r in weighted_sample(df, k=50, weight_col="w").collect()]
+    assert len(picked) == 50
+    # the 100 heavy rows (1000× weight) should dominate the sample
+    assert sum(1 for i in picked if i >= 900) > 40
+    # zero/negative weights are never sampleable
+    rows2 = [(1, 0), (2, -5), (3, 10)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, w long")
+    assert [r.doc_id for r in weighted_sample(df2, k=3, weight_col="w").collect()] == [3]
+
+
+def test_weighted_sample_stable_under_repartition(spark):
+    from logsight_filebeat_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"s{i % 2}", 1 + i % 13) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    a = sorted(
+        (r.grp, r.doc_id, r.rank)
+        for r in weighted_sample(
+            df.repartition(1), k=6, weight_col="w", strata_col="grp"
+        ).collect()
+    )
+    b = sorted(
+        (r.grp, r.doc_id, r.rank)
+        for r in weighted_sample(
+            df.repartition(11), k=6, weight_col="w", strata_col="grp"
+        ).collect()
+    )
+    assert a == b

@@ -147,3 +147,67 @@ def test_quantile_threshold_rejects_bad_q(spark):
         quantile_threshold(df, "score", 0.0)
     with _pytest.raises(ValueError):
         quantile_threshold(df, "score", 1.5)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters
+# ---------------------------------------------------------------------------
+
+
+def _hh_exact(values, k):
+    from collections import Counter
+
+    items = sorted(Counter(values).items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(v, c, i + 1) for i, (v, c) in enumerate(items[:k])]
+
+
+def test_heavy_hitters_exact_topk(spark):
+    from logsight_filebeat_spark.operators.sketches import heavy_hitters
+
+    values = [f"w{i % 37}" for i in range(3000)] + ["hot"] * 500
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    got = [
+        (r.value, r.cnt, r.rank)
+        for r in heavy_hitters(df, "value", k=10).orderBy("rank").collect()
+    ]
+    assert got == _hh_exact(values, 10)
+    assert got[0][0] == "hot"
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    from logsight_filebeat_spark.operators.sketches import heavy_hitters
+
+    values = [f"t{i % 101}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    one = [
+        (r.value, r.cnt, r.rank)
+        for r in heavy_hitters(df.repartition(1), "value", k=7)
+        .orderBy("rank")
+        .collect()
+    ]
+    many = [
+        (r.value, r.cnt, r.rank)
+        for r in heavy_hitters(df.repartition(13), "value", k=7)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert one == many == _hh_exact(values, 7)
+
+
+def test_heavy_hitters_undersized_budget_truncates_never_lies(spark):
+    from logsight_filebeat_spark.operators.sketches import heavy_hitters
+
+    # budget far below the distinct count: the emitted rows must be a
+    # correct PREFIX of the true ranking (possibly shorter than k),
+    # never wrong values or wrong ranks.
+    values = [f"v{i % 211}" for i in range(4000)] + ["big"] * 300
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    exact = _hh_exact(values, 10)
+    got = [
+        (r.value, r.cnt, r.rank)
+        for r in heavy_hitters(df.repartition(8), "value", k=10, budget=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exact[: len(got)]
+    assert got and got[0][0] == "big"  # the true heavy hitter survives
