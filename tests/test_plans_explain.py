@@ -403,3 +403,49 @@ def test_curation_funnel_is_one_low_cardinality_aggregate(spark):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     release_persisted()
+
+
+def test_heavy_hitters_recount_is_broadcast_join_no_full_shuffle_sort(spark):
+    from logsight_filebeat_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"w{i % 50}",) for i in range(2000)], "value string"
+    )
+    plan = _formatted(heavy_hitters(df, "value", k=5))
+    # candidate filter must reach the recount as a broadcast hash join —
+    # a sort-merge join here would shuffle the full value multiset, the
+    # exact thing the two-pass construction exists to avoid
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # top-k of the recounted candidates is the distributed TakeOrdered
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_global_topk_is_take_ordered(spark):
+    from logsight_filebeat_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 9) for i in range(1000)], "doc_id long, w long"
+    )
+    plan = _formatted(weighted_sample(df, k=10, weight_col="w"))
+    # global k must plan as distributed per-partition top-k + tiny merge,
+    # never a global sort of the corpus
+    assert "TakeOrderedAndProject" in plan, plan
+    # the A-ES key is a pure Column — no Python eval anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_stratified_shuffles_by_stratum(spark):
+    from logsight_filebeat_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", 1 + i % 9) for i in range(1000)],
+        "doc_id long, grp string, w long",
+    )
+    plan = _formatted(
+        weighted_sample(df, k=10, weight_col="w", strata_col="grp")
+    )
+    # the per-stratum window partitions by the stratum key — hashpartitioning
+    # on grp, never a single-partition global window
+    assert "hashpartitioning(grp" in plan, plan
+    assert "SinglePartition" not in plan, plan
