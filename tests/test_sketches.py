@@ -211,3 +211,62 @@ def test_heavy_hitters_undersized_budget_truncates_never_lies(spark):
     ]
     assert got == exact[: len(got)]
     assert got and got[0][0] == "big"  # the true heavy hitter survives
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _morton(a: int, b: int, bits: int = 12) -> int:
+    a &= (1 << bits) - 1
+    b &= (1 << bits) - 1
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_python_model(spark):
+    from logsight_filebeat_spark.operators.layout import zorder_key
+
+    rows = [(i, (i * 37) % 4096, (i * 91) % 4096) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {r.id: r.z for r in df.select("id", zorder_key("a", "b", 12).alias("z")).collect()}
+    assert got == {i: _morton(a, b) for i, a, b in rows}
+
+
+def test_quantize_dim_clamps_and_scales(spark):
+    from logsight_filebeat_spark.operators.layout import quantize_dim
+
+    df = spark.createDataFrame(
+        [(-5,), (0,), (2500,), (5000,), (99999,)], "v long"
+    )
+    got = [r.q for r in df.select(quantize_dim("v", 0, 5000, 12).alias("q")).collect()]
+    assert got == [0, 0, 2500 * 4095 // 5000, 4095, 4095]
+
+
+def test_cluster_by_zorder_shrinks_partition_key_spans(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_key,
+    )
+
+    rows = [(i, (i * 17) % 4096, (i * 53) % 4096) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    key = zorder_key("a", "b", 12)
+    clustered = cluster_by_zorder(df, key, n_files=16)
+    per_part = (
+        clustered.select(key.alias("z"), F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .agg((F.max("z") - F.min("z")).alias("span"))
+        .agg(F.avg("span"))
+        .first()[0]
+    )
+    full = df.select(key.alias("z")).agg(F.max("z") - F.min("z")).first()[0]
+    # real locality, not cosmetics: average per-file span ≪ global span
+    assert per_part < full / 4
+    # clustering is a layout change only — the row set is untouched
+    assert clustered.count() == len(rows)
