@@ -99,3 +99,18 @@ def test_resize_plan_geometry(spark):
     assert got[3].target_h == 8  # snapped up to the floor of one multiple
     assert got[3].target_w == 224
     assert (got[4].target_w, got[4].target_h, got[4].scale) == (0, 0, 0.0)
+
+
+def test_frame_sample_indices_edges(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.multimodal import frame_sample_indices
+
+    df = spark.createDataFrame([(1,), (25,), (10,), (11,)], "n long")
+    got = {
+        r.n: r.idx
+        for r in df.select(
+            "n", frame_sample_indices("n", every=10).alias("idx")
+        ).collect()
+    }
+    assert got == {1: [0], 25: [0, 10, 20], 10: [0], 11: [0, 10]}
