@@ -274,6 +274,9 @@ CORPUS_QUERIES = (
     "pg_host_cap",
     "dd_semdedup",
     "ir_bm25",
+    "tx_heavy_hitters",
+    "dd_weighted_sample",
+    "tx_zorder",
 )
 
 
