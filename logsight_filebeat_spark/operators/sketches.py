@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logsight_filebeat_spark.functions.caching import track_persist
+from logsight_filebeat_spark.functions.hashing import seeded_hash32
 
 KMV_SPACE = 1 << 40  # 40-bit hash space (see module docstring)
 
@@ -65,6 +66,90 @@ def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.distinct().orderBy("h").limit(k)
+
+
+def cms_table(
+    df: DataFrame,
+    col: str = "value",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms:v1",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    rows (d, w, cnt) — for each of ``depth`` independent portable hash
+    functions, the total count landing in each of ``width`` buckets.
+    ≤ depth·width rows regardless of corpus size.
+
+    The deterministic, mergeable answer to point-frequency queries at
+    100 TB: per-partition/per-day sketches ADD (sum cnt by (d, w)) into the
+    sketch of the union, so frequency serving never rescans raw data.
+    Estimates overcount only (by ≤ 2N/width with prob 1 − 2^-depth each).
+
+    Scale shape: the (d, w) pairs are a pure array expression exploded in
+    the scan; ONE hash aggregate with map-side partials over a keyspace of
+    depth·width — the value strings themselves never shuffle (contrast
+    exact counting, which shuffles the full distinct-value table).
+    Portable hashes keep every cell engine-reproducible."""
+    c = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (seeded_hash32(c, f"{seed}:{d}") % width).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(
+            F.col("cell.d").alias("d"), F.col("cell.w").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum cell-wise: the merged sketch equals the sketch of the unioned
+    input (counter arrays add)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "value",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms:v1",
+) -> DataFrame:
+    """Point-frequency estimates for a probe set: est(v) = min over d of
+    cnt[d, h_d(v)] (never underestimates; missing cells read 0). The
+    sketch is tiny — it broadcasts; probing is an equi-join + one
+    min-aggregate per probe value."""
+    c = F.col(col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (seeded_hash32(c, f"{seed}:{d}") % width).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probe_cells = (
+        probes.select(c.alias("value"), F.explode(cells).alias("cell"))
+        .select("value", F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["d", "w"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
 
 
 def heavy_hitters(

@@ -270,3 +270,60 @@ def test_cluster_by_zorder_shrinks_partition_key_spans(spark):
     assert per_part < full / 4
     # clustering is a layout change only — the row set is untouched
     assert clustered.count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from collections import Counter
+
+    from logsight_filebeat_spark.operators.sketches import cms_estimate, cms_table
+
+    values = [f"v{i % 23}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    truth = Counter(values)
+    sk = cms_table(df, "value", depth=4, width=4096)
+    probes = spark.createDataFrame([(v,) for v in truth], "value string")
+    got = {r.value: r.est for r in cms_estimate(sk, probes, "value", depth=4, width=4096).collect()}
+    assert all(got[v] >= c for v, c in truth.items())
+    # 23 distinct values into 4096 buckets × 4 rows: collisions are
+    # possible per-row but the min over 4 rows recovers exact counts here
+    assert got == dict(truth)
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    from logsight_filebeat_spark.operators.sketches import cms_merge, cms_table
+
+    a = spark.createDataFrame([(f"a{i % 11}",) for i in range(500)], "value string")
+    b = spark.createDataFrame([(f"a{i % 17}",) for i in range(400)], "value string")
+    merged = {
+        (r.d, r.w): r.cnt
+        for r in cms_merge(
+            cms_table(a, "value", width=256), cms_table(b, "value", width=256)
+        ).collect()
+    }
+    direct = {
+        (r.d, r.w): r.cnt
+        for r in cms_table(a.unionByName(b), "value", width=256).collect()
+    }
+    assert merged == direct
+
+
+def test_cms_overcounts_under_forced_collisions(spark):
+    from collections import Counter
+
+    from logsight_filebeat_spark.operators.sketches import cms_estimate, cms_table
+
+    # 900 distinct values into width=32: collisions guaranteed — estimates
+    # must sit at or above truth, never below
+    values = [f"x{i % 900}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    truth = Counter(values)
+    sk = cms_table(df, "value", depth=3, width=32)
+    probes = spark.createDataFrame([(v,) for v in list(truth)[:50]], "value string")
+    got = {r.value: r.est for r in cms_estimate(sk, probes, "value", depth=3, width=32).collect()}
+    assert all(got[v] >= truth[v] for v in got)
+    assert any(got[v] > truth[v] for v in got)  # collisions actually happened
