@@ -440,6 +440,112 @@ def quantile_threshold(
     )
 
 
+def stratified_quantile_thresholds(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    qs: tuple[tuple[int, int], ...] = ((1, 3), (2, 3)),
+) -> DataFrame:
+    """Exact per-stratum quantile thresholds — (strata, q_num, q_den,
+    threshold), one row per stratum per requested quantile. Same exact
+    histogram construction as ``quantile_threshold`` but the cumulative
+    window partitions BY STRATUM (each running sum sees one stratum's
+    distinct score values, never the data, never a global window).
+
+    Quantiles are passed as RATIONALS (num, den): the target rank
+    ceil(num·total/den) = (num·total + den − 1) // den stays integer
+    arithmetic — a float q·total can land ±1 ulp around an integer and
+    flip ceil() differently per engine. Products stay < 2^53 for any
+    realistic corpus, so the double floor-division below is exact."""
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(
+        F.col(strata_col), F.col(score_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.partitionBy(strata_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(strata_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        strata_col,
+        "_v",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_tot).alias("_total"),
+    )
+    quants = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).cast("bigint").alias("q_num"),
+                    F.lit(d).cast("bigint").alias("q_den"),
+                )
+                for n, d in qs
+            ]
+        )
+    )
+    expanded = cum.select(strata_col, "_v", "_cum", "_total", quants.alias("_q"))
+    rank = F.floor(
+        (F.col("_q.q_num") * F.col("_total") + F.col("_q.q_den") - 1)
+        / F.col("_q.q_den")
+    ).cast("bigint")
+    return (
+        expanded.filter(F.col("_cum") >= rank)
+        .groupBy(
+            F.col(strata_col),
+            F.col("_q.q_num").alias("q_num"),
+            F.col("_q.q_den").alias("q_den"),
+        )
+        .agg(F.min("_v").alias("threshold"))
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    labels: tuple[str, str, str] = ("tail", "middle", "head"),
+    qs: tuple[tuple[int, int], tuple[int, int]] = ((1, 3), (2, 3)),
+) -> DataFrame:
+    """CCNet-style per-stratum tercile bucketing (Wenzek et al. 2020):
+    split every stratum (language) into three quality buckets by the
+    EXACT per-stratum quantiles of a score column — score ≤ q1-threshold
+    ⇒ labels[0], ≤ q2-threshold ⇒ labels[1], else labels[2]. CCNet labels
+    ascending LM familiarity tail/middle/head; pass reversed labels for
+    descending-is-better scores. Adds a ``bucket`` column.
+
+    Scale shape: the threshold table is strata-cardinality-sized — it
+    broadcasts; the bucket label is then a pure Column over one
+    broadcast equi-join. Ties at a tercile boundary all take the lower
+    bucket (deterministic, partitioning-independent)."""
+    (n1, d1), (n2, d2) = qs
+    thr = stratified_quantile_thresholds(df, strata_col, score_col, qs)
+    pivoted = thr.groupBy(strata_col).agg(
+        F.min(
+            F.when(
+                (F.col("q_num") == n1) & (F.col("q_den") == d1),
+                F.col("threshold"),
+            )
+        ).alias("_t1"),
+        F.min(
+            F.when(
+                (F.col("q_num") == n2) & (F.col("q_den") == d2),
+                F.col("threshold"),
+            )
+        ).alias("_t2"),
+    )
+    out = df.join(F.broadcast(pivoted), [strata_col])
+    bucket = (
+        F.when(F.col(score_col) <= F.col("_t1"), F.lit(labels[0]))
+        .when(F.col(score_col) <= F.col("_t2"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return out.withColumn("bucket", bucket).drop("_t1", "_t2")
+
+
 def quantile_gate(
     df: DataFrame, score_col: str, keep_top: float
 ) -> DataFrame:

@@ -842,3 +842,65 @@ def test_weighted_sample_stable_under_repartition(spark):
         ).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stratified quantiles + CCNet buckets
+# ---------------------------------------------------------------------------
+
+
+def _terciles(scores):
+    import math
+
+    n = len(scores)
+    s = sorted(scores)
+    r1, r2 = math.ceil(n / 3), math.ceil(2 * n / 3)
+    return s[r1 - 1], s[r2 - 1]
+
+
+def test_stratified_quantile_thresholds_match_python_model(spark):
+    from logsight_filebeat_spark.operators.sampling import (
+        stratified_quantile_thresholds,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    got = {
+        (r.grp, r.q_num): r.threshold
+        for r in stratified_quantile_thresholds(df, "grp", "score").collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        t1, t2 = _terciles([s for _, grp, s in rows if grp == g])
+        assert got[(g, 1)] == t1 and got[(g, 2)] == t2
+
+
+def test_ccnet_buckets_label_by_stratum_terciles(spark):
+    from logsight_filebeat_spark.operators.sampling import ccnet_buckets
+
+    rows = [(i, "a" if i < 90 else "b", float(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    got = {r.id: r.bucket for r in ccnet_buckets(df, "grp", "score").collect()}
+    assert len(got) == 120
+    # stratum a: scores 0..89 → terciles at 29/59
+    assert got[0] == "tail" and got[29] == "tail"
+    assert got[30] == "middle" and got[59] == "middle"
+    assert got[60] == "head" and got[89] == "head"
+    # stratum b: scores 90..119 → terciles at 99/109
+    assert got[90] == "tail" and got[99] == "tail"
+    assert got[100] == "middle" and got[109] == "middle"
+    assert got[110] == "head" and got[119] == "head"
+
+
+def test_ccnet_buckets_ties_take_lower_bucket_and_repartition_stable(spark):
+    from logsight_filebeat_spark.operators.sampling import ccnet_buckets
+
+    # one stratum, 9 rows, all-equal scores: everything ties at the
+    # tercile thresholds and must land in the LOWEST bucket
+    df = spark.createDataFrame([(i, "g", 5.0) for i in range(9)], "id long, grp string, score double")
+    got = {r.bucket for r in ccnet_buckets(df, "grp", "score").collect()}
+    assert got == {"tail"}
+    rows = [(i, f"g{i % 2}", float((i * 13) % 50)) for i in range(200)]
+    df2 = spark.createDataFrame(rows, "id long, grp string, score double")
+    a = sorted((r.id, r.bucket) for r in ccnet_buckets(df2.repartition(1), "grp", "score").collect())
+    b = sorted((r.id, r.bucket) for r in ccnet_buckets(df2.repartition(16), "grp", "score").collect())
+    assert a == b
