@@ -46,3 +46,45 @@ def redact_pii(col: Column | str) -> Column:
 def clean_text(col: Column | str) -> Column:
     """The composed hygiene pass: markup strip → PII redaction."""
     return redact_pii(strip_markup(col))
+
+
+# block-level html boundary tags: splitting on these yields candidate
+# content blocks (the jusText/trafilatura-style segmentation granularity)
+BLOCK_BOUNDARY_RE = (
+    r"(?i)</?(?:p|div|td|li|h[1-6]|article|section|br|tr|table|ul|ol|pre"
+    r"|nav|header|footer|aside|title|head|body|html)[^>]*>"
+)
+
+
+def main_content(
+    col: Column | str, min_chars: int = 40, min_density_pct: int = 50
+) -> Column:
+    """Boilerplate removal by block text density (the jusText/Boilerpipe
+    family of heuristics): split html into blocks at block-level tag
+    boundaries, strip inline markup per block, keep blocks whose retained
+    text is long enough (≥ ``min_chars``) AND dense enough (text chars ≥
+    ``min_density_pct``% of the raw block — navigation/link farms are
+    mostly markup, body prose is mostly text), join survivors with
+    newlines.
+
+    Pure array/regexp Columns — whole-stage codegen in the scan, zero
+    Python, zero shuffle — so the 100-TB boilerplate pass costs exactly
+    one corpus read. Density compares in integer arithmetic
+    (``len·100 ≥ pct·raw``) so the keep decision is engine-exact; every
+    pattern stays in the Java-regex ∩ RE2 common subset for DuckDB
+    oracles."""
+    c = F.col(col) if isinstance(col, str) else col
+    blocks = F.split(c, BLOCK_BOUNDARY_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.trim(F.regexp_replace(b, TAG_RE, "")).alias("txt"),
+            F.length(b).alias("raw"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) >= min_chars)
+        & (F.length(s["txt"]) * 100 >= s["raw"] * min_density_pct),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")

@@ -601,3 +601,44 @@ def test_grok_duplicate_field_in_one_pattern_errors():
 def test_grok_cyclic_vocab_errors():
     with pytest.raises(ValueError):
         compile_grok("%{A:a}", extra_patterns={"A": "%{B}", "B": "%{A}"})
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def test_main_content_keeps_dense_prose_drops_boilerplate(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.functions.cleaning import main_content
+
+    prose = "This is a long enough paragraph of body prose to keep around."
+    html = (
+        "<html><head><title>t</title></head><body>"
+        f"<p>{prose}</p>"
+        '<nav><a href="https://x/1">one</a><a href="https://x/2">two</a>'
+        '<a href="https://x/3">three</a></nav>'
+        "<p>short</p>"
+        f"<div>{prose} And a second dense block of real article text.</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(main_content("html").alias("m")).first().m
+    lines = got.split("\n")
+    assert lines[0] == prose
+    assert lines[1].startswith(prose)
+    assert len(lines) == 2  # nav links, title, and the short <p> all drop
+
+
+def test_main_content_density_gate_drops_markup_heavy_blocks(spark):
+    from logsight_filebeat_spark.functions.cleaning import main_content
+
+    # 60 chars of visible text buried in heavy inline markup: long enough,
+    # but density < 50% → boilerplate
+    linky = "".join(
+        f'<a href="https://example.com/very/long/path/{i}">w{i}</a>'
+        for i in range(12)
+    )
+    df = spark.createDataFrame([(f"<div>{linky}</div>",)], "html string")
+    assert df.select(main_content("html").alias("m")).first().m == ""
