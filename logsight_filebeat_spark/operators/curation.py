@@ -548,3 +548,72 @@ def linear_quality_scores(
         )
         .withColumn("keep", F.col("score") >= F.lit(threshold))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-statistics pass (phrase mining, tokenizer seeding, quality
+    audits): PMI(w1, w2) = ln p(w1 w2) − ln p(w1) − ln p(w2), computed as
+    ln(b) + 2·ln(Nu) − ln(Nb) − ln(u1) − ln(u2) so no integer product can
+    overflow at corpus scale. ``min_count`` suppresses the unstable
+    low-frequency tail (a hapax pair otherwise maxes the score).
+
+    Returns (bigram, cnt, pmi, rank), pmi rounded 1e-6, ties by bigram.
+
+    Scale shape: two hash aggregates (unigram + bigram counts, map-side
+    partials), the 1-row totals broadcast, the unigram table rides two
+    equi-joins keyed on the words; top-k is a distributed TakeOrdered and
+    the final rank window orders ≤k rows."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("u"))
+    bi = bigram_model(df, text_col, id_col)  # (bigram, cnt)
+    totals = uni.agg(F.sum("u").alias("nu")).crossJoin(
+        bi.agg(F.sum("cnt").alias("nb"))
+    )
+    parts = bi.filter(F.col("cnt") >= min_count).select(
+        "bigram",
+        "cnt",
+        F.split(F.col("bigram"), " ").getItem(0).alias("_w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("_w2"),
+    )
+    scored = (
+        parts.join(uni.select(F.col("tok").alias("_w1"), F.col("u").alias("_u1")), "_w1")
+        .join(uni.select(F.col("tok").alias("_w2"), F.col("u").alias("_u2")), "_w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "cnt",
+            F.round(
+                F.log("cnt")
+                + 2 * F.log("nu")
+                - F.log("nb")
+                - F.log("_u1")
+                - F.log("_u2"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("bigram").asc()
+    ).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        ),
+    )

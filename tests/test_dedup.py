@@ -904,3 +904,47 @@ def test_ccnet_buckets_ties_take_lower_bucket_and_repartition_stable(spark):
     a = sorted((r.id, r.bucket) for r in ccnet_buckets(df2.repartition(1), "grp", "score").collect())
     b = sorted((r.id, r.bucket) for r in ccnet_buckets(df2.repartition(16), "grp", "score").collect())
     assert a == b
+
+
+def test_pmi_collocations_match_python_model(spark):
+    import math
+    from collections import Counter
+
+    from logsight_filebeat_spark.operators.curation import pmi_collocations
+
+    docs = [
+        (1, "new york new york city hall"),
+        (2, "san francisco bay area san francisco"),
+        (3, "new york is not san francisco at all"),
+        (4, "the city the bay the hall the area"),
+    ] * 3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = [t for _, s in docs for t in s.split()]
+    uni = Counter(toks)
+    bis = Counter()
+    for _, s in docs:
+        w = s.split()
+        bis.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    nu, nb = sum(uni.values()), sum(bis.values())
+    want = []
+    for bg, c in bis.items():
+        if c < 3:
+            continue
+        w1, w2 = bg.split(" ")
+        pmi = round(
+            math.log(c) + 2 * math.log(nu) - math.log(nb)
+            - math.log(uni[w1]) - math.log(uni[w2]),
+            6,
+        )
+        want.append((bg, c, pmi))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    got = [
+        (r.bigram, r.cnt, r.pmi, r.rank)
+        for r in pmi_collocations(df, min_count=3, k=5).orderBy("rank").collect()
+    ]
+    assert got == [(bg, c, p, i + 1) for i, (bg, c, p) in enumerate(want[:5])]
+    # sticky pairs must outscore promiscuous stopword pairs: every "the X"
+    # bigram (the appears with 4 different successors) scores below the
+    # exclusive pairs that top the ranking
+    the_pmis = [p for bg, c, p in want if bg.startswith("the ")]
+    assert the_pmis and max(the_pmis) < got[0][2]
