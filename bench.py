@@ -277,6 +277,9 @@ CORPUS_QUERIES = (
     "tx_heavy_hitters",
     "dd_weighted_sample",
     "tx_zorder",
+    "pg_main_content",
+    "tx_ccnet",
+    "tx_cms",
 )
 
 

@@ -231,3 +231,35 @@ def test_sessionize_matches_python_oracle(spark, events):
         (uid, s[0], s[1], s[2]) for uid, ss in by_user.items() for s in ss
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: the verified-prefix invariant under adversarial budgets
+# ---------------------------------------------------------------------------
+
+hh_values = st.lists(
+    st.sampled_from([f"v{i}" for i in range(12)]), min_size=1, max_size=120
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=hh_values, budget=st.integers(1, 6), parts=st.sampled_from([1, 3, 7]))
+def test_heavy_hitters_always_a_correct_prefix(spark, values, budget, parts):
+    """For ANY data, budget, and partitioning, the emitted rows must be a
+    correct prefix of the exact (count desc, value asc) ranking — budgets
+    too small may shorten the answer, never corrupt it."""
+    from collections import Counter
+
+    from logsight_filebeat_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in values], "value string").repartition(
+        parts
+    )
+    exact = sorted(Counter(values).items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r.value, r.cnt)
+        for r in heavy_hitters(df, "value", k=5, budget=budget)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exact[: len(got)]
