@@ -617,3 +617,79 @@ def pmi_collocations(
             Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         ),
     )
+
+
+# per-token JSD terms are rounded onto this integer grid before summing:
+# exact bigint addition makes the divergence partitioning- and engine-
+# independent (a raw double sum is order-dependent). Quantization error is
+# ≤ vocab·5e-16 — below the 1e-6 output rounding up to ~1e9 distinct tokens;
+# the scaled sum itself stays < 2·ln2·1e15, inside both bigint and the
+# 2^53 double-exact range for the final division.
+JSD_SCALE = 10**15
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, cnt) corpus token counts — one hash aggregate."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def js_divergence(
+    a: DataFrame, b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's token
+    distributions — the dataset-drift monitor (snapshot-over-snapshot
+    distribution shift, source-mix audits): 1-row
+    (n_a, n_b, vocab_union, jsd), jsd ∈ [0, ln 2] rounded 1e-6.
+
+    Scale shape: one hash aggregate per side, a full-outer equi-join on
+    the token (each side contributes its count table, never raw text),
+    1-row totals broadcast, and ONE exact-integer sum of grid-rounded
+    per-token terms (see JSD_SCALE) — deterministic at any parallelism
+    and re-derivable in SQL."""
+    ca = token_counts(a, text_col).withColumnRenamed("cnt", "ca")
+    cb = token_counts(b, text_col).withColumnRenamed("cnt", "cb")
+    joined = ca.join(cb, ["tok"], "full_outer").select(
+        "tok",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = ca.agg(F.sum("ca").alias("na")).crossJoin(
+        cb.agg(F.sum("cb").alias("nb"))
+    )
+    t = joined.crossJoin(F.broadcast(totals))
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    m = (p + q) / 2
+    term = F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    grid = F.round(term * F.lit(JSD_SCALE), 0).cast("bigint")
+    return (
+        t.select(
+            "na", "nb", grid.alias("_g")
+        )
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_union"),
+            F.round(
+                F.sum("_g") / F.lit(float(2 * JSD_SCALE)), 6
+            ).alias("jsd"),
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "vocab_union",
+            "jsd",
+        )
+    )

@@ -948,3 +948,48 @@ def test_pmi_collocations_match_python_model(spark):
     # exclusive pairs that top the ranking
     the_pmis = [p for bg, c, p in want if bg.startswith("the ")]
     assert the_pmis and max(the_pmis) < got[0][2]
+
+
+def test_js_divergence_python_model_symmetry_and_zero(spark):
+    import math
+    from collections import Counter
+
+    from logsight_filebeat_spark.operators.curation import (
+        JSD_SCALE,
+        js_divergence,
+    )
+
+    a_docs = [(1, "a a b c"), (2, "a b b d")]
+    b_docs = [(3, "c c d e"), (4, "e e a c")]
+    a = spark.createDataFrame(a_docs, "doc_id long, text string")
+    b = spark.createDataFrame(b_docs, "doc_id long, text string")
+
+    def dist(docs):
+        c = Counter(t for _, s in docs for t in s.split())
+        n = sum(c.values())
+        return c, n
+
+    ca, na = dist(a_docs)
+    cb, nb = dist(b_docs)
+    total = 0
+    for tok in set(ca) | set(cb):
+        p, q = ca[tok] / na, cb[tok] / nb
+        m = (p + q) / 2
+        term = (p * math.log(p / m) if p else 0.0) + (
+            q * math.log(q / m) if q else 0.0
+        )
+        total += int(round(term * JSD_SCALE))
+    want = round(total / (2 * JSD_SCALE), 6)
+
+    row = js_divergence(a, b).first()
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.vocab_union == len(set(ca) | set(cb))
+    assert row.jsd == want
+    assert 0.0 < row.jsd < math.log(2) + 1e-9
+    # symmetry and identity
+    assert js_divergence(b, a).first().jsd == row.jsd
+    assert js_divergence(a, a).first().jsd == 0.0
+    # partitioning independence (the exact-integer sum guarantee)
+    assert (
+        js_divergence(a.repartition(7), b.repartition(5)).first().jsd == row.jsd
+    )
