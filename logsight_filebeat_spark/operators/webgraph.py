@@ -332,3 +332,43 @@ def page_graph(
         .select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
     )
     return nodes, edges
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    min_pages: int = 2,
+) -> DataFrame:
+    """URL template signatures — the spam-farm / boilerplate-site signal:
+    normalize every URL's path by collapsing volatile segments (UUIDs,
+    long hex ids, digit runs) into placeholders, then count pages and
+    distinct URLs per (host, template). A template with thousands of
+    near-identical pages is a generated-content farm; curation pipelines
+    cap or drop them (the URL-level companion to the per-domain doc cap).
+
+    Returns (host, template, n_pages, n_urls) for templates with
+    ``n_pages ≥ min_pages``.
+
+    Scale shape: the template is a codegen'd regexp_replace chain in the
+    scan; the count is ONE hash aggregate keyed on (host, template) —
+    distinct-URL counting rides the same shuffle (no second pass). All
+    patterns sit in the Java-regex ∩ RE2 subset for oracle parity."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z]+://[^/]+([^?#]*)", 1)
+    t = F.regexp_replace(
+        path,
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "{uuid}",
+    )
+    t = F.regexp_replace(t, r"[0-9a-fA-F]{16,}", "{hex}")
+    t = F.regexp_replace(t, r"[0-9]+", "{n}")
+    return (
+        df.select(host.alias("host"), t.alias("template"), u.alias("_u"))
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("_u").alias("n_urls"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )

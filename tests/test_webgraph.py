@@ -203,3 +203,32 @@ def test_hits_hub_authority_separation(spark):
     from logsight_filebeat_spark.functions.caching import release_persisted
 
     release_persisted()
+
+
+def test_url_templates_collapse_volatile_segments(spark):
+    from logsight_filebeat_spark.operators.webgraph import url_templates
+
+    rows = [
+        ("https://spam.example/item/12345",),
+        ("https://spam.example/item/99",),
+        ("https://spam.example/item/7",),
+        ("https://ok.example/about",),
+        ("https://spam.example/u/550e8400-e29b-41d4-a716-446655440000",),
+        ("https://spam.example/u/deadbeefdeadbeefdead",),
+        ("https://spam.example/item/12345",),  # duplicate URL
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        (r.host, r.template): (r.n_pages, r.n_urls)
+        for r in url_templates(df, min_pages=1).collect()
+    }
+    assert got[("spam.example", "/item/{n}")] == (4, 3)
+    assert got[("spam.example", "/u/{uuid}")] == (1, 1)
+    assert got[("spam.example", "/u/{hex}")] == (1, 1)
+    assert got[("ok.example", "/about")] == (1, 1)
+    # min_pages gates the long tail
+    capped = {
+        r.template
+        for r in url_templates(df, min_pages=2).collect()
+    }
+    assert capped == {"/item/{n}"}
