@@ -372,3 +372,43 @@ def url_templates(
         )
         .filter(F.col("n_pages") >= min_pages)
     )
+
+
+def resolve_chains(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Pointer-jumping resolution of functional link chains (canonical-URL
+    / redirect chains: every src maps to at most ONE dst): returns
+    (src, root, hops) where root is the chain terminal and hops the walk
+    length. Each round substitutes next(x) ← next(next(x)), DOUBLING the
+    resolved distance — ``n_iter`` rounds resolve chains up to 2^n_iter
+    hops in n_iter equi-join shuffles, vs one shuffle per hop for the
+    naive walk. That O(log L) vs O(L) gap is the whole point at crawl
+    scale, where redirect chains are short but the table is 10^12 rows.
+
+    Deterministic for acyclic functional mappings; a cycle longer than
+    2^n_iter simply stops mid-cycle (bounded work, no livelock). Join keys
+    are the URLs themselves — hash equi-joins, never a sort."""
+    cur = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("root"),
+        F.lit(1).cast("bigint").alias("hops"),
+    )
+    for _ in range(n_iter):
+        nxt = cur.select(
+            F.col("src").alias("_ns"),
+            F.col("root").alias("_nr"),
+            F.col("hops").alias("_nh"),
+        )
+        cur = (
+            cur.join(nxt, cur["root"] == nxt["_ns"], "left")
+            .select(
+                "src",
+                F.coalesce("_nr", "root").alias("root"),
+                (F.col("hops") + F.coalesce("_nh", F.lit(0))).alias("hops"),
+            )
+        )
+    return cur

@@ -232,3 +232,47 @@ def test_url_templates_collapse_volatile_segments(spark):
         for r in url_templates(df, min_pages=2).collect()
     }
     assert capped == {"/item/{n}"}
+
+
+def test_resolve_chains_pointer_jumping_matches_naive_walk(spark):
+    from logsight_filebeat_spark.operators.webgraph import resolve_chains
+
+    # one long chain (24 hops — needs the doubling, 5 rounds cover 32),
+    # a tree (two srcs converging), and a self-contained short chain
+    edges = [(f"c{i}", f"c{i + 1}") for i in range(24)]
+    edges += [("t1", "hub"), ("t2", "hub"), ("hub", "end")]
+    edges += [("s1", "s2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.src: (r.root, r.hops) for r in resolve_chains(df, n_iter=5).collect()}
+
+    mapping = dict(edges)
+
+    def naive(x):
+        hops = 0
+        while x in mapping:
+            x, hops = mapping[x], hops + 1
+        return x, hops
+
+    want = {s: naive(s) for s, _ in edges}
+    assert got == want
+    assert got["c0"] == ("c24", 24)
+    assert got["t1"] == ("end", 2) and got["hub"] == ("end", 1)
+    # partitioning invariance
+    got7 = {
+        r.src: (r.root, r.hops)
+        for r in resolve_chains(df.repartition(7), n_iter=5).collect()
+    }
+    assert got7 == want
+
+
+def test_resolve_chains_cycle_is_bounded_not_livelocked(spark):
+    from logsight_filebeat_spark.operators.webgraph import resolve_chains
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    rows = resolve_chains(df, n_iter=3).collect()
+    # a 3-cycle never terminates; the walk just stops after 2^3 hops of
+    # pointer doubling — bounded work, deterministic output shape
+    assert len(rows) == 3
+    assert all(r.hops <= 9 for r in rows)
