@@ -280,6 +280,9 @@ CORPUS_QUERIES = (
     "pg_main_content",
     "tx_ccnet",
     "tx_cms",
+    "tx_drift",
+    "pg_url_templates",
+    "wg_canonical",
 )
 
 

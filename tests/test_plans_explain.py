@@ -449,3 +449,40 @@ def test_weighted_sample_stratified_shuffles_by_stratum(spark):
     # on grp, never a single-partition global window
     assert "hashpartitioning(grp" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_main_content_is_pure_projection_no_shuffle_no_python(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.functions.cleaning import main_content
+
+    pg = spark.read.parquet(PAGES)
+    plan = _formatted(
+        pg.select("url", main_content(F.col("html").cast("string")).alias("m"))
+    )
+    # the boilerplate pass must cost exactly one corpus read: no shuffle,
+    # no Python worker
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_table_is_one_hash_aggregate_no_python(spark):
+    from logsight_filebeat_spark.operators.sketches import cms_table
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(100)], "value string")
+    plan = _formatted(cms_table(df, "value", depth=4, width=64))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # cells come from the scan, not a join
+
+
+def test_resolve_chains_rounds_are_hash_joins(spark):
+    from logsight_filebeat_spark.operators.webgraph import resolve_chains
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(50)], "src string, dst string"
+    )
+    plan = _formatted(resolve_chains(df, n_iter=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
