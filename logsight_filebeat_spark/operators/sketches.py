@@ -188,6 +188,12 @@ def heavy_hitters(
     rows is always a candidate; budget=4096 covers every realistic
     top-20 ask over natural-language grams.
 
+    Memory note: pass 1 keeps an exact dict over each partition's DISTINCT
+    values (that exactness is what makes the residual bound valid) — size
+    partitions so that fits; a true evicting Misra-Gries summary would cap
+    memory at O(budget) but weakens the bound and loses the verified-exact
+    guarantee this operator exists for.
+
     The final rank window orders ≤k rows (post-limit), never the data."""
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StringType, StructField, StructType
