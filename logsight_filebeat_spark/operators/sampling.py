@@ -288,6 +288,44 @@ def shard_assignments(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    seed: int | str = "shard",
+) -> DataFrame:
+    """Integrity manifest for a sharded export — (shard, n_docs, fp_a,
+    fp_b): per-shard counts plus two independent content fingerprints,
+    each the EXACT integer sum of a seeded hash of (id, content). Sums are
+    order-insensitive and mergeable, so the manifest is identical at any
+    parallelism and engine and never needs a sort; an interrupted/re-run
+    export proves byte-identity by recomputing it (the verification
+    companion to ``shard_assignments`` — same shard derivation). Two
+    independent 32-bit hash sums make a silent collision across both
+    ~2^-64 per shard.
+
+    Scale shape: hashes in the scan projection, ONE hash aggregate keyed
+    on the shard id."""
+    h = seeded_hash32(F.col(id_col).cast("string"), seed)
+    payload = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col(content_col)
+    )
+    return (
+        df.select(
+            (h % n_shards).cast("int").alias("shard"),
+            seeded_hash32(payload, "manifest:a").alias("_fa"),
+            seeded_hash32(payload, "manifest:b").alias("_fb"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_fa").alias("fp_a"),
+            F.sum("_fb").alias("fp_b"),
+        )
+    )
+
+
 def per_key_cap(
     df: DataFrame,
     key_col: str,

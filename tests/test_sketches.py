@@ -327,3 +327,29 @@ def test_cms_overcounts_under_forced_collisions(spark):
     got = {r.value: r.est for r in cms_estimate(sk, probes, "value", depth=3, width=32).collect()}
     assert all(got[v] >= truth[v] for v in got)
     assert any(got[v] > truth[v] for v in got)  # collisions actually happened
+
+
+def test_shard_manifest_detects_any_content_change(spark):
+    from logsight_filebeat_spark.operators.sampling import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    rows = [(i, f"text body {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r.shard: (r.n_docs, r.fp_a, r.fp_b) for r in shard_manifest(df, 8).collect()}
+    # counts reconcile with the assignment table (same derivation)
+    a = shard_assignments(df, n_shards=8)
+    counts = {r.shard: r.n for r in a.groupBy("shard").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("pos").alias("n")).collect()}
+    assert {s: n for s, (n, _, _) in m.items()} == counts
+    # partitioning-independent
+    m7 = {r.shard: (r.n_docs, r.fp_a, r.fp_b) for r in shard_manifest(df.repartition(7), 8).collect()}
+    assert m7 == m
+    # a single-byte change in one doc flips exactly that shard's fingerprints
+    rows2 = [(i, t if i != 123 else t + "!") for i, t in rows]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    m2 = {r.shard: (r.n_docs, r.fp_a, r.fp_b) for r in shard_manifest(df2, 8).collect()}
+    diff = {s for s in m if m[s] != m2[s]}
+    assert len(diff) == 1
+    s = diff.pop()
+    assert m[s][0] == m2[s][0]  # same count, different fingerprint
