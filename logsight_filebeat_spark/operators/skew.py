@@ -76,3 +76,40 @@ def salted_agg(
     ]
     partial = salted.groupBy(*keys, "_salt").agg(*partials)
     return partial.groupBy(*keys).agg(*merged)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_col: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join by salting — the explicit remedy when AQE's
+    runtime skew split isn't available (disabled, non-shuffle stage
+    boundaries) and the dimension is too big to broadcast: the big side's
+    rows shard into ``n_salt`` sub-keys via the deterministic hash of
+    ``salt_col`` (any per-row identity column), the small side REPLICATES
+    across all sub-keys, and the join key becomes (key, salt) — the hot
+    key's rows spread over ``n_salt`` tasks instead of one.
+
+    Row-for-row identical to the plain join (every big row still meets
+    every matching small row exactly once, inside its salt bucket) at the
+    cost of an n_salt× blow-up of the SMALL side only. Deterministic salt
+    ⇒ identical physical placement on rerun."""
+    from logsight_filebeat_spark.functions.hashing import seeded_hash32
+
+    b = big.withColumn(
+        "_salt",
+        (seeded_hash32(F.col(salt_col).cast("string"), "join-salt") % n_salt).cast(
+            "int"
+        ),
+    )
+    s = small.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")
+        ),
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -486,3 +486,22 @@ def test_resolve_chains_rounds_are_hash_joins(spark):
     plan = _formatted(resolve_chains(df, n_iter=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(f"u{i}", "hot" if i % 2 else f"k{i % 5}") for i in range(200)],
+        "url string, host string",
+    )
+    dims = big.select("host").distinct().withColumn("v", F.length("host"))
+    joined = salted_join(big, dims, "host", salt_col="url", n_salt=8)
+    plan = _formatted(joined)
+    # the join key must include the salt so the hot key spreads across
+    # tasks; and with the small side exploded 8x, no broadcast shortcut
+    # may silently defeat the salting demonstration
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan

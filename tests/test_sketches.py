@@ -353,3 +353,29 @@ def test_shard_manifest_detects_any_content_change(spark):
     assert len(diff) == 1
     s = diff.pop()
     assert m[s][0] == m2[s][0]  # same count, different fingerprint
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(f"u{i}", "hot" if i % 3 else f"k{i % 7}") for i in range(300)],
+        "url string, host string",
+    )
+    dims = big.select("host").distinct().withColumn("v", F.length("host"))
+    plain = {tuple(r) for r in big.join(dims, "host").collect()}
+    for n_salt in (1, 4, 16):
+        salted = {
+            tuple(r)
+            for r in salted_join(big, dims, "host", "url", n_salt).collect()
+        }
+        assert salted == plain
+    # outer joins preserve non-matching rows too
+    extra = spark.createDataFrame([("nohost", 99)], "host string, v int")
+    dims2 = dims.unionByName(extra)
+    left = {
+        tuple(r) for r in salted_join(big, dims2, "host", "url", 4, "left").collect()
+    }
+    assert left == {tuple(r) for r in big.join(dims2, "host", "left").collect()}
