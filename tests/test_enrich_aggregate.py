@@ -130,3 +130,54 @@ def test_url_dup_groups_collapses_variants(spark):
         "https://a.com/x": (3, 1),
         "https://b.com/y": (1, 4),
     }
+
+
+def test_range_join_matches_theta_join_with_overlaps_and_gaps(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.enrich import range_join
+
+    facts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 499, 500, 999, 2500, 7000, 99999, 100000, -5])],
+        "id long, v long",
+    )
+    ranges = spark.createDataFrame(
+        [
+            (0, 500, "a"),
+            (500, 1000, "b"),
+            (0, 100000, "all"),      # overlaps everything in-domain
+            (200000, 300000, "far"), # matches nothing
+            (10, 10, "empty"),       # degenerate lo == hi: dropped
+        ],
+        "lo bigint, hi bigint, label string",
+    )
+    for w in (1, 100, 1000, 250000):
+        got = {
+            (r.id, r.label)
+            for r in range_join(facts, ranges, "v", bucket_width=w).collect()
+        }
+        want = {
+            (r.id, r.label)
+            for r in facts.join(
+                ranges,
+                (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+            ).collect()
+        }
+        assert got == want, f"bucket_width={w}"
+    # 100000 and -5 are out of every range; 0 matches a + all
+    assert (7, "all") not in got and (8, "a") not in got
+    assert {(0, "a"), (0, "all")} <= got
+
+
+def test_range_join_plans_as_hash_join_not_nested_loop(spark):
+    from logsight_filebeat_spark.operators.enrich import range_join
+
+    facts = spark.createDataFrame([(i, i * 7 % 5000) for i in range(500)], "id long, v long")
+    ranges = spark.createDataFrame(
+        [(0, 1000, "x"), (1000, 5000, "y")], "lo bigint, hi bigint, label string"
+    )
+    plan = range_join(facts, ranges, "v", bucket_width=500)._jdf.queryExecution().explainString(
+        facts.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # an actual equi-join on the bucket id
