@@ -693,3 +693,34 @@ def js_divergence(
             "jsd",
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Dataset profiler — one row per column: (column, n_rows, n_null,
+    n_distinct, min_val, max_val), min/max rendered as strings so mixed
+    column types share one result schema. The release-QA table that
+    catches schema drift, null floods, and cardinality surprises before
+    training does.
+
+    Scale shape: ONE pass over the scan; the multi-column exact distinct
+    uses Spark's expand (rows × |cols|), fine for profiling passes — swap
+    the KMV sketch (operators/sketches.py) per column when exact
+    cardinality at 10^12 rows isn't worth its shuffle. The unpivot is a
+    stack over a 1-row aggregate."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_dist_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "_n as n_rows",
+        f"stack({len(cols)}, {stack}) as "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")

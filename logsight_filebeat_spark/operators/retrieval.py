@@ -177,3 +177,48 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def negative_samples(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "negatives",
+) -> DataFrame:
+    """Deterministic easy-negative mining for retrieval training pairs:
+    per query, the k documents sharing NO query term, chosen by seeded
+    hash of (query_id, doc_id) — the draw is a pure function of ids, so
+    the training set rebuilds identically anywhere (hard negatives come
+    from `bm25_topk` minus the positives; this supplies the easy tail).
+
+    Scale shape: positives = one equi-join of the token table against the
+    broadcast query terms; the per-query doc universe is a broadcast
+    cross-join against the tiny query list (linear in |docs|·|queries|),
+    anti-joined against positives; per-query top-k is a window shuffled
+    BY QUERY over hash order."""
+    from logsight_filebeat_spark.functions.hashing import seeded_hash32
+
+    toks = doc_tokens(docs, text_col, id_col)
+    pos = (
+        toks.join(F.broadcast(query_terms), ["tok"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    universe = docs.select(id_col).crossJoin(
+        F.broadcast(query_terms.select("query_id").distinct())
+    )
+    neg = universe.join(pos, ["query_id", id_col], "left_anti")
+    h = seeded_hash32(
+        F.concat(F.col("query_id"), F.lit(":"), F.col(id_col).cast("string")),
+        seed,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )

@@ -154,3 +154,40 @@ def test_rrf_fuse_topk_and_partition_stability(spark):
         ).collect()
     )
     assert a == b and len(a) == 5
+
+
+def test_negative_samples_share_no_query_terms_and_are_stable(spark):
+    from logsight_filebeat_spark.operators.retrieval import negative_samples
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join merge plans"),
+            (2, "hash window agg run"),
+            (3, "totally unrelated words"),
+            (4, "more unrelated content here"),
+            (5, "spark appears here too"),
+            (6, "nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join"), ("q2", "hash")],
+        "query_id string, tok string",
+    )
+    got = {
+        (r.query_id, r.doc_id)
+        for r in negative_samples(docs, qt, k=10).collect()
+    }
+    # q1 negatives exclude docs 1 and 5 (contain spark/join), q2 excludes 2
+    assert {d for q, d in got if q == "q1"} == {2, 3, 4, 6}
+    assert {d for q, d in got if q == "q2"} == {1, 3, 4, 5, 6}
+    # deterministic under repartitioning
+    again = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in negative_samples(docs.repartition(5), qt, k=10).collect()
+    }
+    first = {
+        (r.query_id, r.doc_id, r.rank)
+        for r in negative_samples(docs, qt, k=10).collect()
+    }
+    assert again == first
