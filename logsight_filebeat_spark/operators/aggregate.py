@@ -195,3 +195,68 @@ def asof_join(
             *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in value_cols],
         )
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    trailing: int = 24,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Windowed event-rate anomaly detection — the log-analytics core:
+    per (key, hour) event counts scored against the trailing ``trailing``
+    hours' mean/stddev; |z| ≥ ``z_threshold`` flags a rate anomaly (error
+    bursts, traffic cliffs). Returns (key, hour, n, baseline_n, z,
+    is_anomaly); rows with fewer than 2 trailing points score z = 0, and
+    a ZERO-VARIANCE baseline (perfectly steady rate — where the classical
+    z is undefined yet a spike is the clearest possible anomaly) scores
+    the raw deviation n − mean instead.
+
+    Engine-stable floats BY CONSTRUCTION: the trailing window aggregates
+    only INTEGER sums (Σn, Σn², count — exact at any parallelism and in
+    any engine); mean, variance, and z then derive per-row from those
+    exact integers, so no float ever passes through an order-dependent
+    aggregate. Population variance: var = (Σn² − (Σn)²/c) / c.
+
+    Scale shape: one hash aggregate to the (key, hour) table — tiny
+    relative to the corpus — then windows partitioned BY KEY over that
+    table, never over the data."""
+    from pyspark.sql import Window
+
+    hourly = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = hourly.select(
+        "key",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_s2"),
+        F.count("n").over(w).alias("_c"),
+    )
+    c = F.col("_c").cast("double")
+    mean = F.col("_s1") / c
+    var = (F.col("_s2") - (F.col("_s1") * F.col("_s1")) / c) / c
+    z = (
+        F.when(
+            (F.col("_c") >= 2) & (var > 0),
+            (F.col("n") - mean) / F.sqrt(var),
+        )
+        .when(F.col("_c") >= 2, F.col("n") - mean)
+        .otherwise(F.lit(0.0))
+    )
+    return scored.select(
+        "key",
+        "hour",
+        "n",
+        F.coalesce("_s1", F.lit(0)).alias("baseline_n"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) >= z_threshold).alias("is_anomaly"),
+    )

@@ -181,3 +181,39 @@ def test_range_join_plans_as_hash_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan  # an actual equi-join on the bucket id
+
+
+def test_rate_anomalies_flag_bursts_and_stay_repartition_stable(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # steady 10 events/hour for 30 hours, then one 100-event burst
+    for h in range(30):
+        n = 100 if h == 28 else 10
+        rows += [
+            ("err", base + dt.timedelta(hours=h, seconds=i), i) for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, i long")
+    out = {
+        (r.hour, r.n): (r.z, r.is_anomaly)
+        for r in rate_anomalies(df, "event_type", "ts", trailing=24).collect()
+    }
+    burst = [(z, a) for (h, n), (z, a) in out.items() if n == 100]
+    assert burst and burst[0][1] is True and burst[0][0] > 2
+    # steady mid-series hours are not anomalous
+    steady = [(z, a) for (h, n), (z, a) in out.items() if n == 10]
+    assert all(a is False for _, a in steady)
+    # first row has no baseline → z defined as 0
+    first_hour = min(h for h, _ in out)
+    assert out[(first_hour, 10)] == (0.0, False)
+    # partitioning independence of the float scores
+    again = {
+        (r.hour, r.n): (r.z, r.is_anomaly)
+        for r in rate_anomalies(
+            df.repartition(13), "event_type", "ts", trailing=24
+        ).collect()
+    }
+    assert again == out
