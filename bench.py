@@ -283,6 +283,10 @@ CORPUS_QUERIES = (
     "tx_drift",
     "pg_url_templates",
     "wg_canonical",
+    "ev_anomaly",
+    "ev_range_join",
+    "ann_recall",
+    "pg_log_templates",
 )
 
 

@@ -998,3 +998,39 @@ def with_grok_set_vectorized(
         .withColumn(out + PATTERN_IDX_SUFFIX, F.col(idx_col))
         .drop(*flat.values(), idx_col)
     )
+
+
+def log_templates(
+    df: DataFrame,
+    message_col: str = "message",
+    min_count: int = 1,
+) -> DataFrame:
+    """Log template mining — collapse every message's volatile fields
+    (uuids, ips, hex ids, numbers) into placeholders and aggregate:
+    (template, n_events, n_distinct_messages). The Drain-style first step
+    of log AI: a corpus of millions of raw lines reduces to hundreds of
+    templates whose counts feed anomaly detection and labeling.
+
+    Deterministic single-pass form of what Drain does with an online
+    parse tree: a codegen'd regexp_replace chain in the scan + ONE hash
+    aggregate keyed on the template (messages themselves never shuffle —
+    the distinct count rides the same shuffle). Patterns stay in the
+    Java-regex ∩ RE2 subset for oracle parity."""
+    m = F.col(message_col)
+    t = F.regexp_replace(
+        m,
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<uuid>",
+    )
+    t = F.regexp_replace(t, r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<ip>")
+    t = F.regexp_replace(t, r"0x[0-9a-fA-F]+|[0-9a-fA-F]{16,}", "<hex>")
+    t = F.regexp_replace(t, r"[0-9]+", "<n>")
+    return (
+        df.select(t.alias("template"), m.alias("_m"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("_m").alias("n_messages"),
+        )
+        .filter(F.col("n_events") >= min_count)
+    )

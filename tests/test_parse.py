@@ -642,3 +642,23 @@ def test_main_content_density_gate_drops_markup_heavy_blocks(spark):
     )
     df = spark.createDataFrame([(f"<div>{linky}</div>",)], "html string")
     assert df.select(main_content("html").alias("m")).first().m == ""
+
+
+def test_log_templates_collapse_volatile_fields(spark):
+    from logsight_filebeat_spark.operators.parse import log_templates
+
+    msgs = [
+        ("request handled app=auth status=200 bytes=512",),
+        ("request handled app=auth status=500 bytes=99",),
+        ("connect from 10.0.0.1 port 443",),
+        ("connect from 192.168.7.13 port 8080",),
+        ("txn 550e8400-e29b-41d4-a716-446655440000 committed at 0xdeadbeef",),
+        ("txn 550e8400-e29b-41d4-a716-446655440001 committed at 0xcafebabe",),
+    ]
+    df = spark.createDataFrame(msgs, "message string")
+    got = {r.template: (r.n_events, r.n_messages) for r in log_templates(df).collect()}
+    assert got == {
+        "request handled app=auth status=<n> bytes=<n>": (2, 2),
+        "connect from <ip> port <n>": (2, 2),
+        "txn <uuid> committed at <hex>": (2, 2),
+    }
