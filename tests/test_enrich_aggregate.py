@@ -217,3 +217,30 @@ def test_rate_anomalies_flag_bursts_and_stay_repartition_stable(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_registered_domain_longest_suffix_wins(spark):
+    from logsight_filebeat_spark.operators.enrich import registered_domain
+
+    df = spark.createDataFrame(
+        [
+            ("a.b.example.com",),
+            ("example.org",),
+            ("deep.sub.site.co.uk",),
+            ("localhost",),   # no known suffix → NULL, never misgrouped
+            ("x.co.jp",),
+            ("co.uk",),       # bare suffix: no label left → NULL via n >= k+1 guard
+        ],
+        "host string",
+    )
+    got = dict(
+        (r.host, r.etld1) for r in registered_domain(df).collect()
+    )
+    assert got == {
+        "a.b.example.com": "example.com",
+        "example.org": "example.org",
+        "deep.sub.site.co.uk": "site.co.uk",
+        "localhost": None,
+        "x.co.jp": "x.co.jp",
+        "co.uk": None,
+    }
