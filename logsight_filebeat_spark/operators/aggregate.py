@@ -203,6 +203,7 @@ def rate_anomalies(
     ts_col: str = "ts",
     trailing: int = 24,
     z_threshold: float = 2.0,
+    densify: bool = True,
 ) -> DataFrame:
     """Windowed event-rate anomaly detection — the log-analytics core:
     per (key, hour) event counts scored against the trailing ``trailing``
@@ -212,6 +213,15 @@ def rate_anomalies(
     a ZERO-VARIANCE baseline (perfectly steady rate — where the classical
     z is undefined yet a spike is the clearest possible anomaly) scores
     the raw deviation n − mean instead.
+
+    ``densify`` (default) fills each key's hour grid from its first to
+    last observed hour with explicit n=0 rows, so the trailing window is
+    true trailing WALL-CLOCK hours: zero-rate hours pull the baseline
+    down, a traffic cliff to zero is itself scored (and flaggable), and
+    a post-gap baseline isn't skewed by arbitrarily-old pre-gap hours.
+    ``densify=False`` keeps the observed-hours-only window (trailing N
+    observed buckets, the sparse-log reading). The grid is bounded by
+    keys × wall-clock hours — dimension-sized, never data-sized.
 
     Engine-stable floats BY CONSTRUCTION: the trailing window aggregates
     only INTEGER sums (Σn, Σn², count — exact at any parallelism and in
@@ -228,6 +238,19 @@ def rate_anomalies(
         F.col(key_col).alias("key"),
         F.date_trunc("hour", F.col(ts_col)).alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    if densify:
+        span = hourly.groupBy("key").agg(
+            F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+        )
+        grid = span.select(
+            "key",
+            F.explode(
+                F.sequence("_h0", "_h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+        hourly = grid.join(hourly, ["key", "hour"], "left").select(
+            "key", "hour", F.coalesce("n", F.lit(0)).alias("n")
+        )
     w = (
         Window.partitionBy("key")
         .orderBy("hour")

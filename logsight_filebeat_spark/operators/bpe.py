@@ -72,8 +72,15 @@ def pair_counts(words: DataFrame, sym_col: Column) -> DataFrame:
     per word ≤ chars + 1), so the exploded table is O(corpus vocab chars),
     not O(corpus tokens)."""
     arr = F.split(sym_col, US)
+    # Guard the fully-merged case: once a word collapses to ONE symbol
+    # (e.g. ('low','</w>') merging into 'low</w>'), size(arr)=1 and
+    # sequence(1, 0) is a DESCENDING [1, 0] — element_at(arr, 0) throws.
+    # Such words simply contribute no pairs.
+    idx = F.when(
+        F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 1),
+        idx,
         lambda i: F.struct(
             F.element_at(arr, i).alias("left"),
             F.element_at(arr, i + 1).alias("right"),

@@ -420,16 +420,22 @@ def lm_familiarity(
     The model rides a hash join keyed on bigram (AQE broadcasts it when
     it's small; at corpus scale it shuffles like any dimension its size),
     and the mean is an exact-integer sum / count — bit-stable across
-    engines and partitionings. Docs with no bigrams score -1.0."""
+    engines and partitionings. Docs with no bigrams score -1.0.
+
+    The model join is a LEFT join with OOV bigrams counted at 0: with an
+    external model, a mostly-OOV (garbled) doc must score LOW — an inner
+    join would average over the few matched bigrams only and inflate
+    exactly the docs the gate exists to reject. Self-scoring (default) is
+    unaffected (every bigram is in its own training set)."""
     if model is None:
         model = bigram_model(df, text_col, id_col)
     bg = doc_bigrams(df, text_col, id_col)
     scored = (
-        bg.join(model, "bigram")
+        bg.join(model, "bigram", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("cnt"), 6).alias("familiarity"),
+            F.round(F.avg(F.coalesce("cnt", F.lit(0))), 6).alias("familiarity"),
         )
     )
     return (

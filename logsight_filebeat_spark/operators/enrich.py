@@ -200,6 +200,7 @@ def registered_domain(
     df: DataFrame,
     host_col: str = "host",
     suffixes: DataFrame | None = None,
+    max_labels: int | None = None,
 ) -> DataFrame:
     """eTLD+1 extraction — the aggregation key crawl pipelines actually
     group by (per-SITE caps/stats, where grouping by raw host splits one
@@ -212,7 +213,10 @@ def registered_domain(
     candidate tails as a small array, equi-joined against the BROADCAST
     suffix table, longest match wins via a per-host max — no regex over
     the PSL, no UDF. The suffix table is the real PSL in production
-    (~9k rows — broadcast-sized by nature)."""
+    (~9k rows — broadcast-sized by nature). The candidate-tail depth is
+    the table's own max(labels) (real PSL rules go 3-4 labels deep, e.g.
+    pvt.k12.ma.us) — computed with one control-plane aggregate over the
+    broadcast-sized dim, or passed explicitly via ``max_labels``."""
     from pyspark.sql import SparkSession
 
     if suffixes is None:
@@ -220,13 +224,22 @@ def registered_domain(
         suffixes = spark.createDataFrame(
             PUBLIC_SUFFIXES, "suffix string, labels int"
         )
+        if max_labels is None:
+            max_labels = max(k for _, k in PUBLIC_SUFFIXES)
+    if max_labels is None:
+        # one scalar off a broadcast-sized dim — control-plane, not data
+        max_labels = suffixes.agg(F.max("labels")).first()[0] or 1
     parts = F.split(F.col("_h"), r"\.")
     n = F.size(parts)
+    # candidates include the host-equals-suffix case (n == k): the PSL
+    # longest-match rule must see it so e.g. host 'k12.ma.us' resolves to
+    # the 3-label rule (→ NULL: nothing registrable) instead of falling
+    # back to the shorter 'us' rule and emitting the bogus 'ma.us'
     tails = F.filter(
         F.array(
             *[
                 F.when(
-                    n >= k + 1,
+                    n >= k,
                     F.struct(
                         F.concat_ws(
                             ".", F.slice(parts, n - k + 1, k)
@@ -234,7 +247,7 @@ def registered_domain(
                         F.lit(k).alias("k"),
                     ),
                 )
-                for k in (1, 2)
+                for k in range(1, max_labels + 1)
             ]
         ),
         lambda s: s.isNotNull(),
@@ -255,12 +268,15 @@ def registered_domain(
     )
     dim = matched.select("_h", "_best").withColumn(
         "etld1",
-        F.concat_ws(
-            ".",
-            F.slice(
-                F.split(F.col("_h"), r"\."),
-                F.size(F.split(F.col("_h"), r"\.")) - F.col("_best"),
-                F.col("_best") + 1,
+        F.when(
+            F.size(F.split(F.col("_h"), r"\.")) >= F.col("_best") + 1,
+            F.concat_ws(
+                ".",
+                F.slice(
+                    F.split(F.col("_h"), r"\."),
+                    F.size(F.split(F.col("_h"), r"\.")) - F.col("_best"),
+                    F.col("_best") + 1,
+                ),
             ),
         ),
     ).select("_h", "etld1")

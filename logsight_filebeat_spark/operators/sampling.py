@@ -332,7 +332,7 @@ def per_key_cap(
     max_per_key: int,
     id_col: str,
     seed: int | str = "keycap",
-    n_salt: int | None = None,
+    n_salt: int | None = 8,
 ) -> DataFrame:
     """Per-key document cap (the Dolma/FineWeb-style per-domain spam
     guard): keep at most ``max_per_key`` rows per key, chosen
@@ -341,8 +341,9 @@ def per_key_cap(
     reruns, partitionings, and engines. Adds ``pos`` (1-based keep rank).
 
     Scale shape: a plain partition-by-key window sends EVERY row of a hot
-    key through one task — exactly the skew this guard exists to fight.
-    ``n_salt`` enables the exact two-phase form: phase 1 ranks within
+    key through one task — exactly the skew this guard exists to fight —
+    so the two-phase salted form is the DEFAULT (``n_salt=8``;
+    ``n_salt=None`` opts out for known-flat keys): phase 1 ranks within
     (key, salt) buckets (hot key split ``n_salt`` ways) and keeps
     ``max_per_key`` per bucket; phase 2 re-ranks the surviving
     ``≤ max_per_key·n_salt`` candidates per key. The k globally smallest

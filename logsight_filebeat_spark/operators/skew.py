@@ -97,8 +97,24 @@ def salted_join(
     Row-for-row identical to the plain join (every big row still meets
     every matching small row exactly once, inside its salt bucket) at the
     cost of an n_salt× blow-up of the SMALL side only. Deterministic salt
-    ⇒ identical physical placement on rerun."""
+    ⇒ identical physical placement on rerun.
+
+    ``how`` is restricted to join types where unmatched SMALL-side rows
+    are never emitted (inner / left / left_semi / left_anti / cross): the
+    small side is replicated across all n_salt buckets, so a right/full
+    outer join would emit each unmatched small row n_salt times — once
+    per salt bucket — instead of once. For an outer join on the small
+    side, use a plain join (the small side has no skew to fix)."""
     from logsight_filebeat_spark.functions.hashing import seeded_hash32
+
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} would duplicate unmatched small-side "
+            f"rows n_salt times (small side is replicated per salt bucket); "
+            f"allowed: inner, left, left_semi, left_anti, cross"
+        )
 
     b = big.withColumn(
         "_salt",

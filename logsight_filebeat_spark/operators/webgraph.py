@@ -391,11 +391,21 @@ def resolve_chains(
 
     Deterministic for acyclic functional mappings; a cycle longer than
     2^n_iter simply stops mid-cycle (bounded work, no livelock). Join keys
-    are the URLs themselves — hash equi-joins, never a sort."""
-    cur = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("root"),
-        F.lit(1).cast("bigint").alias("hops"),
+    are the URLs themselves — hash equi-joins, never a sort.
+
+    ``cur`` is persisted at the top of every round (mirroring
+    :func:`pagerank`): each round self-joins the previous state, so an
+    unpersisted lineage doubles per round — 2^n_iter re-derivations of the
+    upstream edge list (at crawl scale, 2^n_iter re-parses of raw html).
+    With the persist, every round is exactly one scan of the cached state
+    plus one equi-join: O(n_iter) work total, plan size linear in
+    n_iter."""
+    cur = track_persist(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("root"),
+            F.lit(1).cast("bigint").alias("hops"),
+        )
     )
     for _ in range(n_iter):
         nxt = cur.select(
@@ -403,7 +413,7 @@ def resolve_chains(
             F.col("root").alias("_nr"),
             F.col("hops").alias("_nh"),
         )
-        cur = (
+        cur = track_persist(
             cur.join(nxt, cur["root"] == nxt["_ns"], "left")
             .select(
                 "src",

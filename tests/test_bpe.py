@@ -70,3 +70,21 @@ def test_overlapping_pair_merges_left_to_right(spark):
     assert merges == [("a", "a")]
     [r] = bpe.doc_token_counts(df, merges).collect()
     assert r.bpe_tokens == 3  # aa, aa, </w>
+
+
+def test_learn_merges_past_full_collapse_no_crash(spark):
+    """Round-4 regression: merge 3 collapses 'low' to the single symbol
+    'low</w>' — the pair builder must emit NO pairs for 1-symbol states
+    (sequence(1, 0) is descending and element_at(arr, 0) throws) and
+    training must continue over the remaining multi-symbol vocab."""
+    merges = bpe.learn_merges(_corpus(spark), num_merges=5)
+    # hand-computed continuation past the collapse: lower → low|e|r|</w>,
+    # newest untouched; (e,r)=2 wins the tie lexicographically, then the
+    # merged (er,</w>)=2
+    assert merges == [
+        ("l", "o", 5),
+        ("lo", "w", 5),
+        ("low", bpe.END_MARK, 3),
+        ("e", "r", 2),
+        ("er", bpe.END_MARK, 2),
+    ]

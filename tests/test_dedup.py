@@ -993,3 +993,26 @@ def test_js_divergence_python_model_symmetry_and_zero(spark):
     assert (
         js_divergence(a.repartition(7), b.repartition(5)).first().jsd == row.jsd
     )
+
+
+def test_lm_familiarity_external_model_scores_oov_as_zero(spark):
+    """Round-4 regression: with an EXTERNAL model, OOV bigrams must pull
+    the familiarity mean DOWN (count 0) and n_bigrams must count every
+    bigram — an inner join would average only the matched ones and
+    inflate exactly the garbled docs the fluency gate exists to reject."""
+    from logsight_filebeat_spark.operators.curation import lm_familiarity
+
+    model = spark.createDataFrame([("a b", 5)], "bigram string, cnt bigint")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x y z"), (3, "a b q")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.id: (r.n_bigrams, r.familiarity)
+        for r in lm_familiarity(df, model=model).collect()
+    }
+    assert got == {
+        1: (1, 5.0),     # fully in-model
+        2: (2, 0.0),     # fully OOV → floor, not excluded
+        3: (2, 2.5),     # (5 + 0) / 2 — OOV dilutes, not inflates
+    }

@@ -244,3 +244,68 @@ def test_registered_domain_longest_suffix_wins(spark):
         "x.co.jp": "x.co.jp",
         "co.uk": None,
     }
+
+
+def test_registered_domain_depth_follows_suffix_table(spark):
+    """Round-4 regression: candidate-tail depth derives from the suffix
+    table's max(labels), so real PSL rules 3+ labels deep (pvt.k12.ma.us
+    style) match instead of silently falling back to the 1-label TLD."""
+    from logsight_filebeat_spark.operators.enrich import registered_domain
+
+    suffixes = spark.createDataFrame(
+        [("com", 1), ("us", 1), ("k12.ma.us", 3)], "suffix string, labels int"
+    )
+    df = spark.createDataFrame(
+        [
+            ("www.district.k12.ma.us",),
+            ("school.k12.ma.us",),
+            ("a.b.example.com",),
+            ("k12.ma.us",),  # bare suffix → NULL
+        ],
+        "host string",
+    )
+    got = {
+        r.host: r.etld1 for r in registered_domain(df, suffixes=suffixes).collect()
+    }
+    assert got == {
+        "www.district.k12.ma.us": "district.k12.ma.us",
+        "school.k12.ma.us": "school.k12.ma.us",
+        "a.b.example.com": "example.com",
+        "k12.ma.us": None,
+    }
+
+
+def test_rate_anomalies_densified_hours_flag_cliff_to_zero(spark):
+    """Round-4 regression: zero-event hours enter the trailing baseline as
+    explicit n=0 rows, so (a) a traffic cliff to zero is itself scored and
+    flagged, and (b) a post-gap baseline spans true wall-clock hours, not
+    arbitrarily-old observed buckets."""
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # steady 10/hour for hours 0..24, silence for 25..34, one event at 35
+    for h in range(25):
+        rows += [("err", base + dt.timedelta(hours=h, seconds=i), i) for i in range(10)]
+    rows.append(("err", base + dt.timedelta(hours=35), 0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, i long")
+
+    out = {
+        r.hour.hour + (r.hour.day - 1) * 24: (r.n, r.z, r.is_anomaly)
+        for r in rate_anomalies(df, "event_type", "ts", trailing=24).collect()
+    }
+    # the grid is dense: every hour 0..35 present exactly once
+    assert sorted(out) == list(range(36))
+    # hour 25 (first silent hour): steady baseline, zero variance →
+    # raw-deviation scoring, n − mean = −10 → flagged
+    n25, z25, a25 = out[25]
+    assert (n25, z25, a25) == (0, -10.0, True)
+    # the single post-gap event is NOT anomalous once the silent hours
+    # (n=0) are in its baseline
+    n35, z35, a35 = out[35]
+    assert n35 == 1 and a35 is False
+    # opt-out keeps the sparse observed-buckets-only reading
+    sparse = rate_anomalies(df, "event_type", "ts", trailing=24, densify=False)
+    assert sparse.count() == 26  # 25 busy hours + the single event hour

@@ -379,3 +379,49 @@ def test_salted_join_identical_to_plain_join(spark):
         tuple(r) for r in salted_join(big, dims2, "host", "url", 4, "left").collect()
     }
     assert left == {tuple(r) for r in big.join(dims2, "host", "left").collect()}
+
+
+def test_salted_join_rejects_joins_that_duplicate_small_side(spark):
+    """Round-4 regression: the small side is replicated once per salt
+    bucket, so right/full outer joins would emit every unmatched small
+    row n_salt times — the operator must refuse instead of silently
+    corrupting outer-join results."""
+    import pytest
+
+    from logsight_filebeat_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("u1", "h1")], "url string, host string")
+    dims = spark.createDataFrame([("h1", 1), ("h2", 2)], "host string, v int")
+    for how in ("right", "rightouter", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, dims, "host", "url", 4, how)
+    # the semantics-preserving types still work
+    assert salted_join(big, dims, "host", "url", 4, "left_semi").count() == 1
+    assert salted_join(big, dims, "host", "url", 4, "inner").count() == 1
+
+
+def test_per_key_cap_defaults_to_two_phase_salted_plan(spark):
+    """Round-4 regression: the DEFAULT call must plan the salted phase-1
+    window (hot key split across n_salt tasks) — single-phase is the
+    opt-out (n_salt=None), not the default."""
+    rows = [(f"id{i}", f"k{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, key string")
+
+    def _plan(d):
+        return d._jdf.queryExecution().explainString(
+            d.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    default_plan = _plan(per_key_cap(df, "key", 5, "doc_id"))
+    assert "_rn1" in default_plan  # phase-1 salted rank present
+    single_plan = _plan(per_key_cap(df, "key", 5, "doc_id", n_salt=None))
+    assert "_rn1" not in single_plan
+    # both forms agree row-for-row
+    a = {(r.doc_id, r.pos) for r in per_key_cap(df, "key", 5, "doc_id").collect()}
+    b = {
+        (r.doc_id, r.pos)
+        for r in per_key_cap(df, "key", 5, "doc_id", n_salt=None).collect()
+    }
+    assert a == b and len(a) == 15
