@@ -355,6 +355,13 @@ class CompiledDissect:
         still anchors the split) but emits no output field.
       * ``%{+name}`` — append: the token's value concatenates onto the
         earlier ``name`` capture, joined by ``append_separator``.
+      * ``%{+name/2}`` — ordered append: the ordinal (≥1) sets the join
+        position within the ``name`` group instead of appearance order
+        (``%{+name/2} %{+name/1}`` on ``"world hello"`` → ``hello world``).
+        A plain ``%{name}``/unordered ``%{+name}`` carries implicit
+        ordinal 0 (sorts first; ties resolve by appearance), and an
+        ordered group may open without a plain base — both exactly the
+        published dissect semantics.
       * ``%{name->}`` — right padding: consecutive repeats of the delimiter
         after this token are skipped (column-aligned output); combines with
         any other modifier (``%{?x->}``, ``%{+x->}`` …).
@@ -363,18 +370,16 @@ class CompiledDissect:
         emit as entries of a ``_pairs`` map<string,string> field (a
         DataFrame column needs a static type, so dynamic names become map
         keys rather than struct fields).
-      * ``%{+name/2}`` ordered appends are NOT supported — compile raises
-        (the only remaining gap in the Beats dissect surface).
-
-    ``tokens`` holds one (kind, name, padded) per positional token, kind ∈
-    {field, skip, append, pairkey, pairval}; ``fields`` is the static OUTPUT
+    ``tokens`` holds one (kind, name, padded, order) per positional token,
+    kind ∈ {field, skip, append, pairkey, pairval} (order ≠ 0 only for
+    ordered appends); ``fields`` is the static OUTPUT
     schema (plain + append bases, first-appearance order; pair patterns add
     ``_pairs``)."""
 
     source: str
     fields: tuple[str, ...]
     delimiters: tuple[str, ...]  # len == len(tokens) - 1; literal separators
-    tokens: tuple[tuple[str, str, bool], ...] = ()
+    tokens: tuple[tuple[str, str, bool, int], ...] = ()
     append_separator: str = ""
     pair_names: tuple[str, ...] = ()
 
@@ -404,7 +409,7 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
             f"dissect pattern {pattern!r} has adjacent fields with no "
             "literal delimiter between them"
         )
-    tokens: list[tuple[str, str, bool]] = []
+    tokens: list[tuple[str, str, bool, int]] = []
     fields: list[str] = []
     pair_keys: list[str] = []
     pair_vals: list[str] = []
@@ -412,23 +417,36 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
         padded = tok.endswith("->")
         if padded:
             tok = tok[:-2]
-        if "/" in tok:
+        if "/" in tok and not tok.startswith("+"):
             raise ValueError(
-                f"dissect pattern {pattern!r}: ordered append "
-                f"%{{{tok}}} is not supported"
+                f"dissect pattern {pattern!r}: the /N ordinal is only valid "
+                f"on append tokens (%{{+name/N}}), got %{{{tok}}}"
             )
         if tok == "" or tok.startswith("?"):
-            tokens.append(("skip", tok[1:] if tok else "", padded))
+            tokens.append(("skip", tok[1:] if tok else "", padded, 0))
         elif tok.startswith("+"):
             name = tok[1:]
+            order = 0
+            if "/" in name:
+                name, _, ostr = name.partition("/")
+                if not ostr.isdigit() or int(ostr) < 1:
+                    raise ValueError(
+                        f"dissect pattern {pattern!r}: append ordinal in "
+                        f"%{{{tok}}} must be a positive integer"
+                    )
+                order = int(ostr)
             if not name:
                 raise ValueError(f"dissect pattern {pattern!r}: bare %{{+}}")
             if name not in fields:
-                raise ValueError(
-                    f"dissect pattern {pattern!r}: %{{+{name}}} appends to a "
-                    "field that has not appeared yet"
-                )
-            tokens.append(("append", name, padded))
+                if order == 0:
+                    raise ValueError(
+                        f"dissect pattern {pattern!r}: %{{+{name}}} appends "
+                        "to a field that has not appeared yet"
+                    )
+                # an ORDERED group may open without a plain base
+                # (%{+name/2} ... %{+name/1} is the documented form)
+                fields.append(name)
+            tokens.append(("append", name, padded, order))
         elif tok.startswith("*"):
             name = tok[1:]
             if not name or name in pair_keys:
@@ -436,7 +454,7 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
                     f"dissect pattern {pattern!r}: bad or repeated pair key "
                     f"%{{*{name}}}"
                 )
-            tokens.append(("pairkey", name, padded))
+            tokens.append(("pairkey", name, padded, 0))
             pair_keys.append(name)
         elif tok.startswith("&"):
             name = tok[1:]
@@ -445,7 +463,7 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
                     f"dissect pattern {pattern!r}: bad or repeated pair value "
                     f"%{{&{name}}}"
                 )
-            tokens.append(("pairval", name, padded))
+            tokens.append(("pairval", name, padded, 0))
             pair_vals.append(name)
         else:
             if tok in fields:
@@ -453,7 +471,7 @@ def compile_dissect(pattern: str, append_separator: str = "") -> CompiledDissect
                     f"dissect pattern {pattern!r} repeats field {tok!r} "
                     "(use %{+" + tok + "} to append)"
                 )
-            tokens.append(("field", tok, padded))
+            tokens.append(("field", tok, padded, 0))
             fields.append(tok)
     if sorted(pair_keys) != sorted(pair_vals):
         raise ValueError(
@@ -485,7 +503,7 @@ def dissect_native(col: Column | str, dissect: CompiledDissect) -> Column:
     remaining = c
     values: list[Column] = []
     ok = F.lit(True)
-    for (_, _, padded), delim in zip(dissect.tokens, dissect.delimiters):
+    for (_, _, padded, _), delim in zip(dissect.tokens, dissect.delimiters):
         pos = F.instr(remaining, F.lit(delim))  # 1-based; 0 = not found
         ok = ok & (pos > 0)
         values.append(F.substring(remaining, 1, pos - 1))
@@ -499,17 +517,25 @@ def dissect_native(col: Column | str, dissect: CompiledDissect) -> Column:
     values.append(remaining)
     outputs: dict[str, Column] = {}
     pair_kv: dict[str, dict[str, Column]] = {}
-    for (kind, name, _), v in zip(dissect.tokens, values):
+    # append groups join sorted by (ordinal, appearance): plain fields and
+    # unordered appends carry ordinal 0, so a group with no /N ordinals
+    # reproduces plain appearance-order concatenation exactly
+    groups: dict[str, list[tuple[int, int, Column]]] = {}
+    for i, ((kind, name, _, order), v) in enumerate(
+        zip(dissect.tokens, values)
+    ):
         if kind == "skip":
             continue
-        if kind == "append":
-            outputs[name] = F.concat(
-                outputs[name], F.lit(dissect.append_separator), v
-            )
-        elif kind in ("pairkey", "pairval"):
+        if kind in ("pairkey", "pairval"):
             pair_kv.setdefault(name, {})["k" if kind == "pairkey" else "v"] = v
         else:
-            outputs[name] = v
+            groups.setdefault(name, []).append((order, i, v))
+    for name, parts in groups.items():
+        parts.sort(key=lambda p: (p[0], p[1]))
+        col = parts[0][2]
+        for _, _, v in parts[1:]:
+            col = F.concat(col, F.lit(dissect.append_separator), v)
+        outputs[name] = col
     if dissect.pair_names:
         kvs: list[Column] = []
         for name in dissect.pair_names:

@@ -76,3 +76,156 @@ def running_totals(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def multiline_events(
+    stream: DataFrame,
+    key_col: str = "file",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+    pattern: str = r"^\s",
+    negate: bool = False,
+    match: str = "after",
+    max_lines: int | None = None,
+    timeout_ms: int = 5000,
+) -> DataFrame:
+    """Streaming multiline join with the Beats ``timeout`` flush — the one
+    multiline config knob that is wall-clock by nature and therefore only
+    meaningful on the streaming path (the batch fold in operators/parse
+    deliberately omits it: a materialized page has no 'waiting for the next
+    line' state). Semantics per key (a file/source):
+
+      * lines fold into events exactly like the batch ``multiline_join``
+        (``match='after'``: a line passing the continuation test appends to
+        the open event; ``match='before'``: every line appends and a line
+        FAILING the test terminates; ``negate`` inverts; ``max_lines``
+        discards overflow continuation lines, Beats truncation), ordered
+        by ``idx_col`` — line order must be carried explicitly because a
+        shuffled micro-batch has no implicit row order;
+      * an event still open at the end of a micro-batch WAITS in the state
+        store for its continuation lines;
+      * if no new line for that key arrives within ``timeout_ms``
+        (processing time), the pending event FLUSHES — emitted with
+        ``by_timeout=true`` — exactly Beats' guarantee that a stalled
+        harvester cannot hold the final event of a file forever.
+
+    Output: (key, event_idx bigint, event_text string, by_timeout boolean),
+    event_idx monotone per key across micro-batches (persisted in state).
+    A key idle past the timeout is evicted entirely — its ordinal restarts
+    at 0 on the next line, like a fresh Beats harvester on a rotated file.
+
+    Scale shape: state is one (pending_text, counters) struct per key,
+    partitioned by key like any groupBy shuffle; ``max_lines`` bounds the
+    pending text, the timeout evicts idle keys, so state size is
+    O(active keys), never O(stream).
+
+    Operational note (measured on Spark 4.1): once any processing-time
+    timeout is registered the engine keeps scheduling no-data micro-batches
+    to fire it — which is exactly what makes the flush work — but as a
+    consequence an ``availableNow`` drain of this operator NEVER
+    self-terminates (it loops no-data batches even after all state is
+    flushed and removed). Run it under a normal processing-time trigger and
+    stop the query explicitly.
+    """
+    import re as _re
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if match not in ("after", "before"):
+        raise ValueError(f"multiline match mode {match!r}: 'after' or 'before'")
+    if max_lines is not None and max_lines < 1:
+        raise ValueError(f"multiline max_lines must be >= 1, got {max_lines}")
+    if timeout_ms < 1:
+        raise ValueError(f"multiline timeout_ms must be >= 1, got {timeout_ms}")
+    _re.compile(pattern)  # driver-time validation, like compile_grok
+
+    out_schema = (
+        f"{key_col} string, event_idx bigint, event_text string, "
+        "by_timeout boolean"
+    )
+    # pending: the open event (NULL = none); n_lines: lines in it (for the
+    # max_lines cap); next_idx: the next event ordinal for this key
+    state_schema = "pending string, n_lines int, next_idx bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rx = _re.compile(pattern)
+
+        def cont(line: str) -> bool:
+            m = bool(rx.search(line))
+            return (not m) if negate else m
+
+        out_idx: list[int] = []
+        out_text: list[str] = []
+        out_to: list[bool] = []
+
+        if state.hasTimedOut:
+            # no data for this key within timeout_ms → flush the pending
+            pending, _, next_idx = state.get
+            if pending is not None:
+                out_idx.append(int(next_idx))
+                out_text.append(pending)
+                out_to.append(True)
+            state.remove()
+        else:
+            if state.exists:
+                pending, n_lines, next_idx = state.get
+                n_lines, next_idx = int(n_lines), int(next_idx)
+            else:
+                pending, n_lines, next_idx = None, 0, 0
+
+            def flush(text: str) -> None:
+                nonlocal next_idx
+                out_idx.append(next_idx)
+                out_text.append(text)
+                out_to.append(False)
+                next_idx += 1
+
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = pd.concat(chunks, ignore_index=True).sort_values(
+                    idx_col, kind="stable"
+                )
+                for line in batch[line_col].astype(str):
+                    if match == "after":
+                        if pending is not None and cont(line):
+                            if max_lines is None or n_lines < max_lines:
+                                pending += "\n" + line
+                                n_lines += 1
+                        else:
+                            if pending is not None:
+                                flush(pending)
+                            pending, n_lines = line, 1
+                    else:  # before: append, a FAILING line terminates
+                        if pending is None:
+                            pending, n_lines = line, 1
+                        elif max_lines is None or n_lines < max_lines:
+                            pending += "\n" + line
+                            n_lines += 1
+                        if not cont(line):
+                            flush(pending)
+                            pending, n_lines = None, 0
+            if pending is not None:
+                state.update((pending, n_lines, next_idx))
+                state.setTimeoutDuration(timeout_ms)
+            elif state.exists:
+                state.update((None, 0, next_idx))
+                state.setTimeoutDuration(timeout_ms)
+
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_idx),
+                "event_idx": out_idx,
+                "event_text": out_text,
+                "by_timeout": out_to,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

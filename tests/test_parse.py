@@ -399,7 +399,7 @@ def test_dissect_modifiers_skip_and_append(spark):
 
     d = compile_dissect("%{date} %{+date} %{?junk} %{} %{rest}", append_separator=" ")
     assert d.fields == ("date", "rest")
-    assert [k for k, _, _ in d.tokens] == ["field", "append", "skip", "skip", "field"]
+    assert [k for k, _, _, _ in d.tokens] == ["field", "append", "skip", "skip", "field"]
     df = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00 pid=7 INFO all good"), (2, "too few")],
         "i long, t string",
@@ -563,10 +563,45 @@ def test_dissect_new_modifier_validation():
         "%{*k} %{rest}",          # key without value
         "%{&k} %{rest}",          # value without key
         "%{*k} %{&k} %{*k} %{&x}",  # repeated key, mismatched names
-        "%{+x/2} %{x}",           # ordered append unsupported
+        "%{+x/2} %{x}",           # plain base AFTER the group opened
+        "%{+x/0} %{y}",           # ordinal must be >= 1
+        "%{+x/a} %{y}",           # ordinal must be an integer
+        "%{x/2} %{y}",            # /N only valid on append tokens
+        "%{+y} %{y}",             # UNORDERED append may not open a group
     ):
         with pytest.raises(ValueError):
             compile_dissect(bad)
+
+
+def test_dissect_ordered_appends(spark):
+    """%{+name/N} joins by ordinal, not appearance (the documented
+    dissect example: /2 /4 /1 /3 over 'John Smith Dr. Jr.' reads
+    'Dr. John Jr. Smith'); plain/unordered members carry implicit
+    ordinal 0 and sort first, ties by appearance."""
+    from logsight_filebeat_spark.operators.parse import (
+        compile_dissect,
+        with_dissect,
+    )
+
+    d = compile_dissect("%{+name/2} %{+name/4} %{+name/1} %{+name/3}", " ")
+    assert d.fields == ("name",)
+    df = spark.createDataFrame([("John Smith Dr. Jr.",)], ["t"])
+    [r] = with_dissect(df, "t", d).collect()
+    assert r.parsed.name == "Dr. John Jr. Smith"
+
+    # plain base (implicit ordinal 0) sorts before every ordered member
+    d2 = compile_dissect("%{ts} %{+ts/2},%{+ts/1}", "|")
+    [r2] = with_dissect(
+        spark.createDataFrame([("base second,first",)], ["t"]), "t", d2
+    ).collect()
+    assert r2.parsed.ts == "base|first|second"
+
+    # unordered group behavior is unchanged (appearance order)
+    d3 = compile_dissect("%{a} %{+a} %{+a}", "-")
+    [r3] = with_dissect(
+        spark.createDataFrame([("x y z",)], ["t"]), "t", d3
+    ).collect()
+    assert r3.parsed.a == "x-y-z"
 
 
 def test_grok_composite_combinedapachelog(spark):

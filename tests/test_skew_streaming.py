@@ -338,3 +338,88 @@ def test_content_dedup_stream_state_spans_micro_batches(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.text for r in spark.table("st_dedup_test").collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_multiline_stream_folds_and_timeout_flushes(spark, tmp_path):
+    """Streaming multiline with the Beats `timeout` flush: an event left
+    OPEN at the end of one micro-batch (maxFilesPerTrigger=1 → one batch
+    per file) absorbs its continuation lines from the NEXT batch; events
+    still open once input runs dry flush via the 2 s processing-time
+    timeout (while any state timeout is pending the engine keeps
+    scheduling no-data batches, which is what fires it — so the test
+    polls the sink and stops the query explicitly; a query with
+    registered processing-time timeouts never self-terminates, even
+    under availableNow)."""
+    import time
+
+    from logsight_filebeat_spark.streaming.stateful import multiline_events
+
+    src = tmp_path / "lines"
+    schema = "file string, line_idx bigint, line string"
+    # batch 1: one complete event + one event left open
+    spark.createDataFrame(
+        [
+            ("a.log", 0, "2024 first"),
+            ("a.log", 1, "  cont1"),
+            ("a.log", 2, "2024 second"),
+            ("b.log", 0, "2024 other"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2: continuation of a.log's open event, then a fresh opener
+    spark.createDataFrame(
+        [
+            ("a.log", 3, "  cont2"),
+            ("a.log", 4, "2024 third"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        multiline_events(stream, timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("ml_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    expected = {
+        # closed by the next opener — cross-batch state fold
+        ("a.log", 0): ("2024 first\n  cont1", False),
+        ("a.log", 1): ("2024 second\n  cont2", False),
+        # still open when input ran dry — flushed by the timeout
+        ("a.log", 2): ("2024 third", True),
+        ("b.log", 0): ("2024 other", True),
+    }
+    got = {}
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(got) < len(expected):
+            time.sleep(1)
+            got = {
+                (r.file, r.event_idx): (r.event_text, r.by_timeout)
+                for r in spark.table("ml_stream").collect()
+            }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_multiline_stream_validation():
+    import pytest
+
+    from logsight_filebeat_spark.streaming.stateful import multiline_events
+
+    for kwargs in (
+        {"match": "sideways"},
+        {"max_lines": 0},
+        {"timeout_ms": 0},
+        {"pattern": "(["},
+    ):
+        with pytest.raises(Exception):
+            multiline_events(None, **kwargs)
