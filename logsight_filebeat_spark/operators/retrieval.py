@@ -44,6 +44,77 @@ def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def doc_token_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, tok): positional postings for phrase search. ``pos``
+    is the ORIGINAL 0-based split index — with a ``\\s+`` split the only
+    possible empty tokens are a leading/trailing one, so consecutive words
+    always carry consecutive positions and phrase adjacency survives the
+    empty-token filter."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search over positional postings: (query_id, doc_id,
+    n_matches, first_pos) for every document containing the phrase's
+    tokens at consecutive positions — the positional-index capability a
+    Lucene-style engine adds over bag-of-words BM25, and the precise tool
+    for decontamination forensics ("which training docs contain this
+    benchmark sentence verbatim?").
+
+    ``phrases`` is a small (query_id, phrase) DataFrame.
+
+    Scale shape — the classic positional-intersection, shaped for Spark:
+    the phrase set explodes to (query_id, offset, token) and BROADCASTS
+    into ONE equi-join against the positional postings on token (only
+    postings of the phrase vocabulary survive into the match path; the
+    corpus-wide postings table never joins anything big). Each surviving
+    posting votes for the anchor position ``pos - offset``; ONE hash
+    aggregate counts votes per (query, doc, anchor), and an anchor with
+    exactly phrase-length votes is a full occurrence ((doc, pos) is
+    unique, so votes can't double-count — duplicate phrase tokens like
+    "table table" stay exact). No per-term self-join chain, no window,
+    no Python."""
+    qsplit = F.split(F.lower(F.col("phrase")), TOKEN_SPLIT_RE)
+    q = (
+        phrases.select(
+            "query_id",
+            F.posexplode(qsplit).alias("offset", "qtok"),
+            F.size(qsplit).alias("qlen"),
+        )
+        .filter(F.col("qtok") != "")
+    )
+    post = doc_token_positions(docs, text_col, id_col)
+    hits = post.join(F.broadcast(q), post["tok"] == q["qtok"]).select(
+        "query_id",
+        id_col,
+        (F.col("pos") - F.col("offset")).alias("anchor"),
+        "qlen",
+    )
+    anchors = hits.groupBy("query_id", id_col, "anchor", "qlen").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    return (
+        anchors.filter(F.col("n_terms") == F.col("qlen"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("anchor").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
 def doc_term_freqs(toks: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, tok, tf) — one hash aggregate."""
     return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))

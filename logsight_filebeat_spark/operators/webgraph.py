@@ -408,11 +408,15 @@ def resolve_chains(
         )
     )
     for _ in range(n_iter):
+        # SHUFFLE_HASH: without the hint Spark picks sort-merge, paying two
+        # full sorts of the state per round; the functional mapping is
+        # unique per src, so the build side is flat and hash join wins at
+        # every scale (the sort buys nothing — the next round reshuffles)
         nxt = cur.select(
             F.col("src").alias("_ns"),
             F.col("root").alias("_nr"),
             F.col("hops").alias("_nh"),
-        )
+        ).hint("SHUFFLE_HASH")
         cur = track_persist(
             cur.join(nxt, cur["root"] == nxt["_ns"], "left")
             .select(

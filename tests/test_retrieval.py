@@ -191,3 +191,68 @@ def test_negative_samples_share_no_query_terms_and_are_stable(spark):
         for r in negative_samples(docs, qt, k=10).collect()
     }
     assert again == first
+
+
+def test_phrase_match_hand_oracle(spark):
+    """Exact-phrase semantics: consecutive positions only, duplicate
+    phrase tokens stay exact, overlapping occurrences each count, case
+    folds, bag-of-words co-occurrence does NOT match."""
+    from logsight_filebeat_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "brown the quick"),        # tokens present, order wrong
+            (3, "THE QUICK the quick x"),  # two occurrences, mixed case
+            (4, "aa aa aa"),               # overlapping duplicate-token hits
+            (5, "quick the"),              # reversed
+        ],
+        "doc_id bigint, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("p1", "the quick"), ("p2", "aa aa")],
+        "query_id string, phrase string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.n_matches, r.first_pos)
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert got == {
+        ("p1", 1): (1, 0),
+        ("p1", 2): (1, 1),   # "the quick" at positions 1-2
+        ("p1", 3): (2, 0),   # both occurrences, case-insensitive
+        ("p2", 4): (2, 0),   # "aa aa" anchors 0 and 1 overlap
+    }
+
+
+def test_phrase_match_positions_survive_whitespace_runs(spark):
+    """\\s+ split leaves no interior empty tokens, so multi-space and
+    tab-separated words stay position-adjacent."""
+    from logsight_filebeat_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "alpha   beta\t\tgamma")], "doc_id bigint, text string"
+    )
+    phrases = spark.createDataFrame(
+        [("p1", "alpha beta gamma")], "query_id string, phrase string"
+    )
+    [r] = phrase_match(docs, phrases).collect()
+    assert (r.n_matches, r.first_pos) == (1, 0)
+
+
+def test_phrase_match_plan_broadcasts_phrases(spark):
+    from logsight_filebeat_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id bigint, text string"
+    )
+    phrases = spark.createDataFrame(
+        [("p1", "a b")], "query_id string, phrase string"
+    )
+    plan = phrase_match(docs, phrases)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -425,3 +425,72 @@ def test_per_key_cap_defaults_to_two_phase_salted_plan(spark):
         for r in per_key_cap(df, "key", 5, "doc_id", n_salt=None).collect()
     }
     assert a == b and len(a) == 15
+
+
+def _bloom_model(values, n_bits=4096, n_hashes=4, seed="bloom:v1"):
+    """Single-threaded python model of the portable bloom hash family."""
+    import hashlib
+
+    def h(v, d):
+        hx = hashlib.md5(f"{seed}:{d}:{v}".encode()).hexdigest()
+        return int(hx[:8], 16) % n_bits
+
+    bits = {h(v, d) for v in values for d in range(n_hashes)}
+
+    def probe(v):
+        return all(h(v, d) in bits for d in range(n_hashes))
+
+    return bits, probe
+
+
+def test_bloom_no_false_negatives_and_model_identity(spark):
+    """Every inserted value must probe true (the bloom guarantee), and
+    both the bit set and every probe verdict must equal the
+    single-threaded python model of the same portable hashes — including
+    any deterministic false positive the sizing produces."""
+    from logsight_filebeat_spark.operators.sketches import bloom_bits, bloom_probe
+
+    vals = [f"url-{i}" for i in range(300)]
+    absent = [f"nope-{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    bloom = bloom_bits(df, "value", n_bits=2048, n_hashes=3)
+    model_bits, model_probe = _bloom_model(vals, n_bits=2048, n_hashes=3)
+    assert {r.bit for r in bloom.collect()} == model_bits
+
+    probes = spark.createDataFrame(
+        [(v,) for v in vals + absent], "value string"
+    )
+    got = {
+        r.value: r.maybe_present
+        for r in bloom_probe(bloom, probes, "value", n_bits=2048, n_hashes=3).collect()
+    }
+    assert all(got[v] for v in vals)  # no false negatives, ever
+    for v in absent:
+        assert got[v] == model_probe(v)  # identical FP decisions
+
+
+def test_bloom_merge_equals_union_and_partition_stability(spark):
+    from logsight_filebeat_spark.operators.sketches import (
+        bloom_bits,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "value string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "value string")
+    merged = {
+        r.bit
+        for r in bloom_merge(
+            bloom_bits(a, "value", 1024, 3), bloom_bits(b, "value", 1024, 3)
+        ).collect()
+    }
+    union = {
+        r.bit for r in bloom_bits(a.unionByName(b), "value", 1024, 3).collect()
+    }
+    assert merged == union
+    repart = {
+        r.bit
+        for r in bloom_bits(
+            a.unionByName(b).repartition(7), "value", 1024, 3
+        ).collect()
+    }
+    assert repart == union
