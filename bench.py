@@ -291,6 +291,9 @@ CORPUS_QUERIES = (
     "ev_range_join",
     "ann_recall",
     "pg_log_templates",
+    "ir_phrase",
+    "pg_crawl_diff",
+    "tx_bloom",
 )
 
 

@@ -705,6 +705,35 @@ def cut_duplicated_spans(
     )
 
 
+def existing_index(
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(distinct content hashes, distinct band buckets) of an already-kept
+    corpus — the PERSISTED dedup index a production pipeline writes once
+    per snapshot and replays against every later one. Pass the two tables
+    to :func:`incremental_dedup` (``existing_hashes=``/
+    ``existing_buckets=``) so each new snapshot pays O(incoming + index
+    lookup) instead of re-minhashing the whole kept corpus — at crawl
+    scale the difference between a join against a stored table and a full
+    re-shingle of everything ever kept."""
+    hashes = existing.select(md5_hex(F.col(text_col)).alias("_h")).distinct()
+    buckets = (
+        band_buckets(
+            minhash_signatures(existing, text_col, id_col, n, num_hashes),
+            num_hashes,
+            bands,
+        )
+        .select("bucket")
+        .distinct()
+    )
+    return hashes, buckets
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -713,6 +742,8 @@ def incremental_dedup(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 2,
+    existing_hashes: DataFrame | None = None,
+    existing_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Snapshot-over-snapshot dedup — the production shape for continuous
     corpus ingestion (each web-crawl snapshot dedups against everything
@@ -732,11 +763,18 @@ def incremental_dedup(
     Scale shape: every step is a hash equi-join or anti-join on a content
     hash / bucket — the existing corpus contributes only its DISTINCT
     hashes and buckets (never full rows), so the incremental cost is
-    O(incoming + existing index), exactly how a persisted
-    signature/bucket index would be replayed against each new snapshot.
+    O(incoming + existing index). Production replays a PERSISTED index:
+    pass ``existing_hashes``/``existing_buckets`` (from
+    :func:`existing_index`, stored per snapshot) and the kept corpus is
+    never re-shingled; omitted, both derive from ``existing`` in place
+    (identical results, pinned by test).
     """
     inc = dedup_exact(incoming, text_col, id_col)
-    ex_h = existing.select(md5_hex(F.col(text_col)).alias("_h")).distinct()
+    ex_h = (
+        existing_hashes
+        if existing_hashes is not None
+        else existing.select(md5_hex(F.col(text_col)).alias("_h")).distinct()
+    )
     inc = (
         inc.withColumn("_h", md5_hex(F.col(text_col)))
         .join(ex_h, ["_h"], "left_anti")
@@ -748,7 +786,9 @@ def incremental_dedup(
     )
     bk_in = band_buckets(sig_in, num_hashes, bands)
     bk_ex = (
-        band_buckets(
+        existing_buckets
+        if existing_buckets is not None
+        else band_buckets(
             minhash_signatures(existing, text_col, id_col, n, num_hashes),
             num_hashes,
             bands,
@@ -770,6 +810,42 @@ def incremental_dedup(
     )
     return surv.join(
         drops, F.col(id_col) == F.col("__drop"), "left_anti"
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl snapshot diff: (key, status) with status ∈ {new, gone,
+    changed, unchanged} — which pages appeared, vanished, or changed
+    content between two crawl snapshots. The recrawl-scheduling and
+    incremental-processing primitive: downstream stages re-run only the
+    ``new``/``changed`` slice (pair with :func:`incremental_dedup` for the
+    dedup side) and ``gone`` drives tombstoning.
+
+    Scale shape: each side reduces to (key, content md5) IN THE SCAN — the
+    text bytes never shuffle — then ONE full-outer hash equi-join on the
+    key. Portable hashes keep the verdict engine-reproducible. Keys are
+    assumed unique per snapshot (a crawl's url column); pre-aggregate
+    first if not."""
+    o = old.select(
+        F.col(key_col).alias("_k"), md5_hex(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"), md5_hex(F.col(text_col)).alias("_hn")
+    )
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("new"))
+        .when(F.col("_hn").isNull(), F.lit("gone"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "_k", "full_outer")
+        .select(F.col("_k").alias(key_col), status.alias("status"))
     )
 
 

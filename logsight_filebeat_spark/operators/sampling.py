@@ -59,6 +59,29 @@ def train_val_split(
     return df.filter(b >= thresh), df.filter(b < thresh)
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    val_fraction: float = 0.1,
+    seed: int | str = "groupsplit",
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe (train, val) split keyed on a GROUP, not the row: the
+    bucket draw hashes ``group_col`` (host, registered domain, source
+    site), so every document of a group lands on the SAME side. The
+    eval-contamination guard row-level splits cannot give — near-duplicate
+    pages from one site otherwise straddle the boundary and the val set
+    silently leaks into training.
+
+    Same pure-Column membership as :func:`train_val_split` (two filters in
+    the scan — no shuffle, no group table, no join), stable under reruns,
+    repartitioning, and engines. Disjoint and exhaustive over non-null
+    groups; NULL groups go to train (nothing to leak between)."""
+    thresh = int(val_fraction * SAMPLE_BUCKETS)
+    b = sample_bucket(group_col, seed)
+    is_val = F.col(group_col).isNotNull() & (b < thresh)
+    return df.filter(~is_val), df.filter(is_val)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

@@ -1016,3 +1016,90 @@ def test_lm_familiarity_external_model_scores_oov_as_zero(spark):
         2: (2, 0.0),     # fully OOV → floor, not excluded
         3: (2, 2.5),     # (5 + 0) / 2 — OOV dilutes, not inflates
     }
+
+
+def test_incremental_dedup_replays_persisted_index_identically(spark):
+    """Production replays a stored (hash, bucket) index instead of
+    re-minhashing the kept corpus — the injected-index path must keep the
+    exact same rows as in-place derivation, and must never touch the
+    existing corpus' text (it works even when `existing` is unusable)."""
+    existing = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+    )
+    incoming = _docs(
+        spark,
+        [
+            (10, "brand new unique document text here"),
+            (12, "alpha beta gamma delta epsilon zeta"),
+            (13, "one  two three four five six seven"),
+            (14, "totally unrelated fresh content words"),
+        ],
+    )
+    hashes, buckets = dedup.existing_index(existing, n=3, num_hashes=8, bands=2)
+    direct = sorted(
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            existing, incoming, n=3, num_hashes=8, bands=2
+        ).collect()
+    )
+    # existing=None proves the text is never consulted on the replay path
+    replay = sorted(
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            None,
+            incoming,
+            n=3,
+            num_hashes=8,
+            bands=2,
+            existing_hashes=hashes,
+            existing_buckets=buckets,
+        ).collect()
+    )
+    assert direct == replay == [10, 14]
+
+
+def test_group_split_no_group_straddles(spark):
+    """Every group lands wholly on one side (the leakage guard), sides are
+    disjoint+exhaustive, NULL groups go to train, split is repartition-
+    stable."""
+    from logsight_filebeat_spark.operators.sampling import group_split
+
+    rows = [(i, f"host{i % 37}") for i in range(500)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string")
+    train, val = group_split(df, "host", val_fraction=0.3, seed="s1")
+    t = {(r.doc_id, r.host) for r in train.collect()}
+    v = {(r.doc_id, r.host) for r in val.collect()}
+    assert t | v == {(i, f"host{i % 37}") for i in range(500)} | {(999, None)}
+    assert not (t & v)
+    assert (999, None) in t  # NULL group defaults to train
+    t_hosts = {h for _, h in t if h is not None}
+    v_hosts = {h for _, h in v}
+    assert not (t_hosts & v_hosts)  # no host on both sides
+    assert v_hosts  # the 30% draw over 37 hosts is non-empty
+    # stable under repartitioning
+    t2, v2 = group_split(df.repartition(7), "host", 0.3, "s1")
+    assert {(r.doc_id, r.host) for r in v2.collect()} == v
+
+
+def test_snapshot_diff_statuses(spark):
+    from logsight_filebeat_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "dropped")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "gone",
+        "u4": "new",
+    }
