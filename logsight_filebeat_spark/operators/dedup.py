@@ -154,6 +154,75 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT over candidate pairs sharing ≥1 shingle:
+    (id_small, id_big, containment) with containment = |A∩B| / |smaller
+    set| — the asymmetric near-dup measure Jaccard structurally misses.
+    A page fully embedded in a longer one (article + boilerplate, quote
+    farms, aggregator wrappers) has containment ≈ 1 while its Jaccard is
+    only |A|/|B| — arbitrarily low — so a Jaccard gate never fires. Web
+    dedup recipes run BOTH: Jaccard for same-size near-dups, containment
+    for subset duplication. ``id_small`` is the doc with the smaller
+    (tie: lower id) shingle set — the one a keep-the-superset policy
+    would drop.
+
+    Same scale shape as :func:`jaccard_pairs` (one shingle self-join,
+    fan-out bounded by ``max_doc_freq``; containment computed over the
+    same capped universe, sizes recounted so the measure stays exact)."""
+    inv = shingle_table(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        inv = inv.drop("n_shingles").join(keep, ["shingle"], "inner")
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        inv = inv.join(sizes, ["id"], "inner")
+    inv = track_persist(inv)
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    small_is_a = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        inter.select(
+            F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_small"
+            ),
+            F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_big"
+            ),
+            F.round(
+                F.col("inter") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

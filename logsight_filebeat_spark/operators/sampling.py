@@ -311,6 +311,33 @@ def shard_assignments(
     )
 
 
+def rendezvous_shard(
+    id_col: Column | str,
+    n_shards: int,
+    seed: int | str = "hrw",
+) -> Column:
+    """Highest-random-weight (rendezvous, Thaler & Ravishankar 1998) shard
+    of a key: argmax over shards of hash(seed:shard:key). The property
+    mod-n sharding (:func:`shard_assignments`) lacks: growing n → n+1
+    moves ONLY the keys the new shard wins — 1/(n+1) in expectation — and
+    every moved key moves TO the new shard; mod-n reshuffles ~all keys.
+    That is the difference between re-exporting one new shard and
+    re-exporting the corpus when a 10^12-row dataset grows capacity (and
+    the same property serves cache/worker affinity maps).
+
+    Pure Column: the per-shard hash array is compile-time unrolled
+    (n_shards ≤ a few hundred; beyond that, use consistent hashing with a
+    broadcast ring table). First-max wins ties — deterministic, and the
+    same rule the DuckDB mirror (list_indexof of the list max) applies."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    arr = F.array(
+        *[seeded_hash32(c.cast("string"), f"{seed}:{s}") for s in range(n_shards)]
+    )
+    return (
+        F.array_position(arr, F.array_max(arr)).cast("int") - 1
+    ).alias("shard")
+
+
 def shard_manifest(
     df: DataFrame,
     n_shards: int = 16,

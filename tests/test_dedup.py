@@ -1103,3 +1103,58 @@ def test_snapshot_diff_statuses(spark):
         "u3": "gone",
         "u4": "new",
     }
+
+
+def test_containment_catches_subset_duplication_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 while
+    Jaccard = |A|/|B| sits below any reasonable gate — the measure exists
+    precisely for this case. id_small must be the embedded (smaller) doc."""
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i}" for i in range(40))
+    df = _docs(spark, [(1, short), (2, short + " " + filler)])
+
+    pairs = dedup.containment_pairs(df, n=3, threshold=0.9, max_doc_freq=None)
+    [r] = pairs.collect()
+    assert (r.id_small, r.id_big, r.containment) == (1, 2, 1.0)
+
+    # the same pair scores far below a Jaccard gate
+    jp = dedup.jaccard_pairs(df, n=3, threshold=0.0, max_doc_freq=None)
+    [j] = jp.collect()
+    assert j.jaccard < 0.1
+
+    # non-overlapping docs emit nothing
+    df2 = _docs(spark, [(1, "a b c d e"), (2, "v w x y z")])
+    assert dedup.containment_pairs(df2, n=3, threshold=0.1).count() == 0
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    """The HRW guarantee: growing n_shards 8 → 9, every moved key moves TO
+    the new shard (9th, index 8), and ~1/9 of keys move — vs mod-n where
+    ~8/9 reshuffle. Assignment is a pure function of the id (repartition-
+    stable) and always lands in [0, n)."""
+    from logsight_filebeat_spark.operators.sampling import rendezvous_shard
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id bigint"
+    )
+    rows = df.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("s8"),
+        rendezvous_shard("doc_id", 9).alias("s9"),
+    ).collect()
+    assert all(0 <= r.s8 < 8 and 0 <= r.s9 < 9 for r in rows)
+    moved = [r for r in rows if r.s8 != r.s9]
+    assert all(r.s9 == 8 for r in moved)  # moves only TO the new shard
+    frac = len(moved) / len(rows)
+    assert 0.06 < frac < 0.17  # ≈ 1/9, loose band
+    # contrast: mod-n moves ~8/9 of keys on the same growth
+    mod_moved = sum(1 for r in rows if r.doc_id % 8 != r.doc_id % 9)
+    assert mod_moved / len(rows) > 0.8
+    # repartition-stable
+    again = {
+        r.doc_id: r.s8
+        for r in df.repartition(7)
+        .select("doc_id", rendezvous_shard("doc_id", 8).alias("s8"))
+        .collect()
+    }
+    assert again == {r.doc_id: r.s8 for r in rows}
