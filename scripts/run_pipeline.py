@@ -39,6 +39,7 @@ def main(argv: list[str] | None = None) -> int:
         help="grok pattern override; repeat for a first-match-wins chain",
     )
     p.add_argument("--logs", action="store_true", help="input is a directory of .log files")
+    p.add_argument("--warc", action="store_true", help="input is a directory of WARC archives")
     p.add_argument("--stream", action="store_true", help="drain via Structured Streaming")
     p.add_argument("--no-enrich", action="store_true")
     args = p.parse_args(argv)
@@ -93,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         from logsight_filebeat_spark.sources.logfiles import logfiles_as_pages
 
         pages_df = logfiles_as_pages(spark, args.input)
+    elif args.warc:
+        from logsight_filebeat_spark.sources.warc import warc_pages
+
+        pages_df = warc_pages(spark, args.input)
     else:
         pages_df = spark.read.parquet(args.input)
 
