@@ -49,10 +49,32 @@ def _driver_verified() -> set[str]:
     return seen
 
 
+# Queries whose IMPLEMENTATION or oracle changed in the current round —
+# they outrank plain never-verified entries in the driver window (a changed
+# query needs a fresh driver verdict even if an old artifact covered the
+# previous behavior). Maintained per round.
+_ROUND_CHANGED = [
+    # round 4: new surface
+    "op_dissect_ordered", "st_multiline", "ir_phrase", "tx_bloom",
+    "warc_harvest", "pg_group_split", "pg_crawl_diff", "dd_containment",
+    "dd_hrw_shards", "tx_vocab_by_lang",
+    # round 4: behavior/plan changes (persist+hint, densified baseline,
+    # left-join model, PSL depth, salted default, index replay)
+    "wg_canonical", "ev_anomaly", "tx_lm_score", "pg_etld1", "pg_host_cap",
+    "dd_incremental", "dd_sample",
+]
+
+
 def _rotated(mapping: dict) -> dict:
     seen = _driver_verified()
-    unseen = {k: v for k, v in mapping.items() if k not in seen}
-    return {**unseen, **{k: v for k, v in mapping.items() if k in seen}}
+    changed = {k: mapping[k] for k in _ROUND_CHANGED if k in mapping}
+    unseen = {
+        k: v for k, v in mapping.items() if k not in seen and k not in changed
+    }
+    rest = {
+        k: v for k, v in mapping.items() if k in seen and k not in changed
+    }
+    return {**changed, **unseen, **rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

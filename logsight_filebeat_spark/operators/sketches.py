@@ -58,6 +58,56 @@ def kmv_hashes(
     )
 
 
+def kmv_by_group(
+    df: DataFrame,
+    col: Column | str,
+    group_col: str,
+    k: int = 256,
+    seed: str = "kmv:v1",
+) -> DataFrame:
+    """Per-group KMV sketches in ONE pass: (group, h) — each group's k
+    smallest distinct hashes. The dataset-card question at corpus scale is
+    rarely one global cardinality but one PER SLICE (vocabulary per
+    language, distinct urls per host, shingles per source), and running a
+    full DISTINCT per slice shuffles the value bytes once per slice.
+
+    Scale shape: hash in the scan → ONE distinct over (group, hash) —
+    8-byte hashes, never values — → a rank window partitioned BY GROUP
+    (each sort is one group's ≤distinct-hash rows, never global). Groups
+    under k distinct values keep everything (estimate exact, same contract
+    as the global sketch); sketches remain mergeable per group."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    return (
+        df.select(F.col(group_col), kmv_hash(col, seed).alias("h"))
+        .distinct()
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_estimate_by_group(
+    sketch: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """(group, n_seen, kth_hash, est_distinct) — the per-group integral
+    KMV estimator, exact below k (mirrors :func:`kmv_estimate`)."""
+    return (
+        sketch.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth_hash"))
+        .select(
+            group_col,
+            "n_seen",
+            "kth_hash",
+            F.when(F.col("n_seen") < k, F.col("n_seen"))
+            .otherwise(F.expr(f"{(k - 1) * KMV_SPACE}L div kth_hash"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Union sketches into the sketch of the combined input (min-wise
     hashes: the k smallest of the union of per-part k-smallest sets are

@@ -545,3 +545,57 @@ def test_salted_join_shuffles_on_key_plus_salt(spark):
     # may silently defeat the salting demonstration
     assert "_salt" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_the_filter(spark):
+    """The built filter is ≤ n_bits rows — probing must be a broadcast
+    hash join, never a shuffle of the candidate side against it."""
+    from logsight_filebeat_spark.operators.sketches import bloom_bits, bloom_probe
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(200)], "value string")
+    bloom = bloom_bits(vals, "value", n_bits=1024, n_hashes=3)
+    plan = _formatted(bloom_probe(bloom, vals, "value", 1024, 3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_split_sides_are_pure_filters(spark):
+    """Both split sides must plan as filters in the scan — no shuffle, no
+    group table, no join (the membership is a pure Column of the group)."""
+    from logsight_filebeat_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame(
+        [(i, f"h{i % 9}") for i in range(100)], "doc_id bigint, host string"
+    )
+    train, val = group_split(df, "host", 0.25)
+    for side in (train, val):
+        plan = _formatted(side)
+        assert "Exchange" not in plan
+        assert "Join" not in plan.split("\n\n(")[0]
+
+
+def test_snapshot_diff_is_one_join_hashes_before_shuffle(spark):
+    """One full-outer equi-join on the key; the text column must be
+    reduced to its md5 BELOW the exchange (text bytes never shuffle)."""
+    from logsight_filebeat_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame([("u1", "x" * 100)], "url string, text string")
+    new = spark.createDataFrame([("u1", "y" * 100)], "url string, text string")
+    plan = _formatted(snapshot_diff(old, new))
+    tree = plan.split("\n\n(")[0]
+    assert tree.count("Join") == 1
+    assert "CartesianProduct" not in plan
+    # md5 is computed in a Project below each Exchange: the exchange's
+    # output attributes carry the hash, not the text column
+    assert "md5" in plan
+
+
+def test_rendezvous_shard_is_shuffle_free(spark):
+    from logsight_filebeat_spark.operators.sampling import rendezvous_shard
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    plan = _formatted(df.select(rendezvous_shard("doc_id", 16)))
+    assert "Exchange" not in plan
+    for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan

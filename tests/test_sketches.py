@@ -494,3 +494,45 @@ def test_bloom_merge_equals_union_and_partition_stability(spark):
         ).collect()
     }
     assert repart == union
+
+
+def test_kmv_by_group_python_model_identity(spark):
+    """Per-group sketches and estimates equal the single-threaded model of
+    the same portable hashes: exhaustive (exact) below k, integral
+    estimator at/above k; repartition-stable."""
+    import hashlib
+
+    from logsight_filebeat_spark.operators.sketches import (
+        KMV_SPACE,
+        kmv_by_group,
+        kmv_estimate_by_group,
+    )
+
+    def h(v):
+        return int(hashlib.md5(f"kmv:v1:{v}".encode()).hexdigest()[:10], 16)
+
+    rows = [("big", f"tok{i}") for i in range(200)] + [
+        ("small", f"tok{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "lang string, tok string")
+    k = 16
+    sk = kmv_by_group(df, "tok", "lang", k=k)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r.lang, []).append(r.h)
+    model = {
+        "big": sorted(h(f"tok{i}") for i in range(200))[:k],
+        "small": sorted(h(f"tok{i}") for i in range(5)),
+    }
+    assert {g: sorted(v) for g, v in got.items()} == model
+
+    est = {
+        r.lang: (r.n_seen, r.kth_hash, r.est_distinct)
+        for r in kmv_estimate_by_group(sk, "lang", k=k).collect()
+    }
+    assert est["small"] == (5, max(model["small"]), 5)  # exact below k
+    kth = model["big"][-1]
+    assert est["big"] == (k, kth, (k - 1) * KMV_SPACE // kth)
+    # repartition-stable
+    sk2 = kmv_by_group(df.repartition(7), "tok", "lang", k=k)
+    assert sorted(map(tuple, sk2.collect())) == sorted(map(tuple, sk.collect()))
