@@ -202,3 +202,83 @@ def standard_pages_config(sink_root: str = "") -> PipelineConfig:
         ),
         sink_root=sink_root,
     )
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    fixed_plan: PipelinePlan,
+    pages: DataFrame,
+    sink_root: str,
+    failed_batch_id: str,
+    replay_batch_id: str | None = None,
+) -> dict:
+    """Re-drive EXACTLY the quarantined pages of a committed batch through
+    a corrected plan — the ops loop the reference's at-least-once design
+    implies but leaves manual: rows that failed parse/validation routed to
+    ``_quarantine`` (data preserved, never dropped); once the config is
+    fixed (new grok chain, corrected mapper keys), the failures replay
+    WITHOUT re-publishing the pages that already succeeded.
+
+    Mechanics: the quarantined urls of ``failed_batch_id`` are read back
+    from the routed store (a partition-pruned scan — batch_id and sink are
+    partition columns, so only the one quarantine directory is touched),
+    semi-joined against the raw pages input (only failed pages re-enter
+    the pipeline), and published under a NEW batch_id with its own lineage
+    entry — idempotent like any other batch, so a crashed replay reruns to
+    the identical result. Pages whose rows STILL fail land in quarantine
+    again under the replay batch, preserving at-least-once accounting.
+    Granularity is the PAGE (the registrar's file/offset unit): a page
+    where only some events failed re-publishes all its events under the
+    replay batch — at-least-once across batches, deduplicable downstream
+    on (url, event_idx) exactly like any Beats redelivery.
+
+    Returns the replay receipt plus ``replayed_pages``."""
+    if replay_batch_id is None:
+        replay_batch_id = f"{failed_batch_id}-replay"
+    routed = spark.read.parquet(os.path.join(sink_root, "routed"))
+    failed_urls = (
+        routed.filter(
+            (F.col("batch_id") == failed_batch_id)
+            & (F.col(SINK_COL) == "_quarantine")
+        )
+        .select("url")
+        .distinct()
+    )
+    replay_pages = pages.join(failed_urls, ["url"], "left_semi")
+    receipt = fixed_plan.run_batch(
+        spark, replay_pages, replay_batch_id, sink_root=sink_root
+    )
+    receipt["replayed_pages"] = failed_urls.count()
+    return receipt
+
+
+def run_backfill(
+    spark: SparkSession,
+    plan: PipelinePlan,
+    pages: DataFrame,
+    hours: list[str],
+    sink_root: str,
+    ts_col: str = "warc_ts",
+    batch_prefix: str = "hour-",
+) -> list[dict]:
+    """Backfill a range of hour buckets, one lineage-guarded batch per
+    hour: already-committed hours SKIP (registrar resume), missing hours
+    publish — so a backfill over an interrupted range is one idempotent
+    call, and re-running the whole range is a no-op. ``hours`` entries are
+    'yyyy-MM-dd HH' strings; each batch reads only its hour's slice of the
+    input (a pushed-down timestamp filter, partition-prunable when the
+    input is hour-partitioned).
+
+    Returns one receipt per hour, in order — the caller's audit trail
+    (sum of rows_ok across receipts ≡ the union run, pinned by test)."""
+    out = []
+    hour_expr = F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH")
+    for h in hours:
+        receipt = plan.run_batch(
+            spark,
+            pages.filter(hour_expr == h),
+            f"{batch_prefix}{h}",
+            sink_root=sink_root,
+        )
+        out.append(receipt)
+    return out

@@ -250,3 +250,95 @@ def test_read_receipts_lenient_on_missing_and_corrupt(plan, spark, tmp_path):
     assert lenient.count() < n_good  # damaged file dropped, not fatal
     # and the batch itself is still committed — receipts are advisory
     assert lineage_ops.is_committed(spark, root, "br")
+
+
+def test_replay_quarantine_redrives_only_failed_pages(spark, tmp_path):
+    """A too-narrow grok quarantines the events it can't parse; after the
+    config fix, replay_quarantine re-drives EXACTLY the quarantined pages
+    under a new lineage-guarded batch — previously-clean pages are not
+    re-published, and the replay recovers rows the fixed plan parses."""
+    from logsight_filebeat_spark.plans.pipeline import (
+        DEFAULT_GROK,
+        replay_quarantine,
+    )
+
+    root = str(tmp_path / "out")
+    pg = pages(spark, 2000, seed=5)
+    # broken config: only 'request ...' messages parse; everything else
+    # (follow-up events, failure-shape rows) quarantines
+    broken = compile(
+        standard_pages_config(),
+        grok_pattern="%{NOTSPACE:timestamp} %{WORD:level} request %{GREEDYDATA:message}",
+    )
+    r1 = broken.run_batch(spark, pg, "b0", sink_root=root)
+    assert r1["rows_failed"] > 0
+
+    routed = spark.read.parquet(f"{root}/routed")
+    quarantined_urls = {
+        r.url
+        for r in routed.filter(
+            (F.col("batch_id") == "b0") & (F.col("sink") == "_quarantine")
+        )
+        .select("url")
+        .distinct()
+        .collect()
+    }
+
+    fixed = compile(standard_pages_config(), grok_pattern=DEFAULT_GROK)
+    rr = replay_quarantine(spark, fixed, pg, root, "b0")
+    assert rr["batch_id"] == "b0-replay" and rr["skipped"] is False
+    assert rr["replayed_pages"] == len(quarantined_urls)
+    assert rr["rows_ok"] > 0  # the fixed grok recovers rows
+
+    replay_rows = spark.read.parquet(f"{root}/routed").filter(
+        F.col("batch_id") == "b0-replay"
+    )
+    # only quarantined pages re-entered
+    assert {
+        r.url for r in replay_rows.select("url").distinct().collect()
+    } <= quarantined_urls
+    # rows the fixed plan parses land in REAL sinks now
+    assert replay_rows.filter(F.col("sink") != "_quarantine").count() > 0
+    # replay is itself lineage-guarded: re-running skips
+    assert replay_quarantine(spark, fixed, pg, root, "b0")["skipped"] is True
+
+
+def test_run_backfill_skips_committed_hours(plan, spark, tmp_path):
+    """Backfill over a range is idempotent per hour: already-committed
+    hours skip, missing hours publish, and the per-hour rows sum to the
+    single-run total (no hour double-published, none missed)."""
+    from logsight_filebeat_spark.plans.pipeline import run_backfill
+
+    root = str(tmp_path / "out")
+    pg = pages(spark, 1500, seed=11)
+    hours = sorted(
+        r.h
+        for r in pg.select(
+            F.date_format(
+                F.date_trunc("hour", F.col("warc_ts")), "yyyy-MM-dd HH"
+            ).alias("h")
+        )
+        .distinct()
+        .collect()
+    )[:4]
+    assert len(hours) == 4
+
+    first = run_backfill(spark, plan, pg, hours[:2], root)
+    assert [r["skipped"] for r in first] == [False, False]
+
+    full = run_backfill(spark, plan, pg, hours, root)
+    assert [r["skipped"] for r in full] == [True, True, False, False]
+
+    # per-hour totals reconcile with one run over the union of the hours
+    hour_expr = F.date_format(
+        F.date_trunc("hour", F.col("warc_ts")), "yyyy-MM-dd HH"
+    )
+    union_receipt = plan.run_batch(
+        spark,
+        pg.filter(hour_expr.isin(hours)),
+        "union-check",
+        sink_root=str(tmp_path / "out2"),
+    )
+    done = first + full[2:]
+    assert sum(r["rows_ok"] for r in done) == union_receipt["rows_ok"]
+    assert sum(r["rows_failed"] for r in done) == union_receipt["rows_failed"]
