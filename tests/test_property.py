@@ -263,3 +263,104 @@ def test_heavy_hitters_always_a_correct_prefix(spark, values, budget, parts):
         .collect()
     ]
     assert got == exact[: len(got)]
+
+
+# ---------------------------------------------------------------------------
+# dissect: full modifier surface vs an independent python execution model
+# ---------------------------------------------------------------------------
+
+def _dissect_oracle(d, sep: str, text: str):
+    """Single-threaded reference of dissect_native's EXECUTION semantics
+    (sequential leftmost delimiter finds, padding strip, append groups
+    joined by (ordinal, appearance)) — independent of the Column path;
+    only the compiled token structure is shared."""
+    vals = []
+    remaining = text
+    for (_, _, padded, _), delim in zip(d.tokens, d.delimiters):
+        idx = remaining.find(delim)
+        if idx < 0:
+            return None
+        vals.append(remaining[:idx])
+        remaining = remaining[idx + len(delim):]
+        if padded:
+            while remaining.startswith(delim):
+                remaining = remaining[len(delim):]
+    vals.append(remaining)
+    groups: dict[str, list] = {}
+    for i, ((kind, name, _, order), v) in enumerate(zip(d.tokens, vals)):
+        if kind == "skip":
+            continue
+        groups.setdefault(name, []).append((order, i, v))
+    out = {}
+    for name, parts in groups.items():
+        parts.sort(key=lambda p: (p[0], p[1]))
+        out[name] = sep.join(p[2] for p in parts)
+    return tuple(out[n] for n in d.fields)
+
+
+_DELIMS = [" ", ",", "==", ";", "  "]
+
+
+@st.composite
+def _dissect_cases(draw):
+    toks = ["%{f0}"]
+    fields = ["f0"]
+    for i in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["field", "skip", "append", "ordered"]))
+        pad = "->" if draw(st.booleans()) else ""
+        if kind == "field":
+            nm = f"f{len(fields)}"
+            fields.append(nm)
+            toks.append("%{" + nm + pad + "}")
+        elif kind == "skip":
+            toks.append("%{?s" + str(i) + pad + "}")
+        elif kind == "append":
+            toks.append("%{+" + draw(st.sampled_from(fields)) + pad + "}")
+        else:
+            nm = draw(st.sampled_from(fields + ["g0", "g1"]))
+            if nm not in fields:
+                fields.append(nm)
+            toks.append(
+                "%{+" + nm + "/" + str(draw(st.integers(1, 3))) + pad + "}"
+            )
+    pattern = toks[0]
+    for t in toks[1:]:
+        pattern += draw(st.sampled_from(_DELIMS)) + t
+    sep = draw(st.sampled_from(["", " ", "|"]))
+    texts = draw(
+        st.lists(
+            st.text(alphabet=list("ab ,;=\t") + ["é"], max_size=25),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    return pattern, sep, texts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_dissect_cases())
+def test_dissect_native_matches_python_model(spark, case):
+    """Random patterns over the FULL dissect modifier surface (skips,
+    padding, unordered + ordered appends, multi-char delimiters) on
+    adversarial inputs: the Column path must equal the independent python
+    execution model row for row — including which rows fail (NULL)."""
+    from logsight_filebeat_spark.operators.parse import (
+        compile_dissect,
+        with_dissect,
+    )
+
+    pattern, sep, texts = case
+    d = compile_dissect(pattern, sep)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r.i: (None if r.parsed is None else tuple(r.parsed))
+        for r in with_dissect(df, "t", d).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _dissect_oracle(d, sep, t), (pattern, sep, t)
