@@ -882,6 +882,46 @@ def incremental_dedup(
     )
 
 
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 128,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    resolution: int = 200,
+) -> tuple[int, int]:
+    """Choose (bands, rows) for minhash LSH given a target Jaccard
+    ``threshold`` — the driver-side planner that turns "near-dup means
+    J ≥ 0.8" into banding parameters before a 10^12-row run is launched
+    (the datasketch-style S-curve optimization, reimplemented from the
+    published formula).
+
+    A pair with Jaccard s becomes a candidate with probability
+    ``1 − (1 − s^rows)^bands``; the planner enumerates every (bands, rows)
+    factorization of ``num_hashes`` and minimizes the weighted integral of
+    false positives below the threshold and false negatives above it.
+    Pure driver-side arithmetic — deterministic, no Spark."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+
+        def p(s: float) -> float:
+            return 1.0 - (1.0 - s**r) ** b
+
+        ds = 1.0 / resolution
+        xs = [(i + 0.5) * ds for i in range(resolution)]
+        fp = sum(p(s) for s in xs if s < threshold) * ds
+        fn = sum(1.0 - p(s) for s in xs if s >= threshold) * ds
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

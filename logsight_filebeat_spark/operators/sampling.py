@@ -311,6 +311,64 @@ def shard_assignments(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture planning: given target source WEIGHTS and a total
+    token BUDGET, how much of each source to take. Returns per source:
+    (source, n_docs, tokens, natural_share, target_share, tokens_needed,
+    rate, epochs) where ``rate`` = tokens_needed / available (≤1 ⇒
+    downsample at that rate, >1 ⇒ repeat the source ``epochs`` times — the
+    up/down-sampling table a mixture config (Pile/Dolma-style weights)
+    compiles to before :func:`stratified_hash_sample` or
+    :func:`temperature_resample` executes it.
+
+    Sources absent from ``weights`` get target 0 (excluded). Shape: ONE
+    hash aggregate over the corpus; the weight table is a literal CASE
+    chain; every derived number is fixed-point-rounded arithmetic over
+    exact integer sums — engine-stable."""
+    tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).cast("long").alias("tokens"),
+    )
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    w = F.lit(0.0)
+    for s, v in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(v / total)).otherwise(w)
+    all_tokens = per.agg(F.sum("tokens").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(all_tokens))
+        .select(
+            source_col,
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("_t"), 6).alias("natural_share"),
+            F.round(w, 6).alias("target_share"),
+            F.round(w * F.lit(float(budget_tokens))).cast("long").alias(
+                "tokens_needed"
+            ),
+            F.round(
+                F.round(w * F.lit(float(budget_tokens))) / F.col("tokens"), 6
+            ).alias("rate"),
+            F.ceil(
+                F.round(w * F.lit(float(budget_tokens))) / F.col("tokens")
+            ).cast("long").alias("epochs"),
+        )
+    )
+
+
 def rendezvous_shard(
     id_col: Column | str,
     n_shards: int,

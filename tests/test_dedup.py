@@ -1158,3 +1158,61 @@ def test_rendezvous_shard_minimal_movement(spark):
         .collect()
     }
     assert again == {r.doc_id: r.s8 for r in rows}
+
+
+def test_lsh_plan_s_curve_optimization():
+    """The planner picks a factorization whose S-curve midpoint
+    (1/b)^(1/r) tracks the target threshold: higher thresholds get more
+    rows per band (steeper, right-shifted curves); degenerate and
+    out-of-range inputs refuse."""
+    import pytest
+
+    from logsight_filebeat_spark.operators.dedup import lsh_plan
+
+    b8, r8 = lsh_plan(0.8, num_hashes=128)
+    assert b8 * r8 == 128
+    mid8 = (1 / b8) ** (1 / r8)
+    assert abs(mid8 - 0.8) < 0.15
+
+    b3, r3 = lsh_plan(0.3, num_hashes=128)
+    assert b3 * r3 == 128
+    assert r3 < r8  # lower threshold → shallower curve → fewer rows
+    assert (1 / b3) ** (1 / r3) < mid8
+
+    # the repo's own default banding (8 hashes, 2 bands → r=4) is what the
+    # planner picks for a mid-high threshold at that budget
+    assert lsh_plan(0.72, num_hashes=8) == (2, 4)
+
+    with pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with pytest.raises(ValueError):
+        lsh_plan(1.0)
+
+
+def test_mixture_plan_compiles_weights_to_rates_and_epochs(spark):
+    from logsight_filebeat_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("web", "a b c d"), ("web", "e f"), ("wiki", "g h i"), ("junk", "z")],
+        "source string, text string",
+    )
+    got = {
+        r.source: r
+        for r in mixture_plan(
+            df, {"web": 3.0, "wiki": 1.0}, budget_tokens=12
+        ).collect()
+    }
+    web, wiki, junk = got["web"], got["wiki"], got["junk"]
+    assert (web.n_docs, web.tokens) == (2, 6)
+    assert web.target_share == 0.75 and web.tokens_needed == 9
+    assert web.rate == 1.5 and web.epochs == 2  # upsample: repeat twice
+    assert wiki.tokens_needed == 3 and wiki.rate == 1.0 and wiki.epochs == 1
+    assert junk.target_share == 0.0 and junk.rate == 0.0 and junk.epochs == 0
+    # weights normalize: same plan if given as (0.75, 0.25)
+    again = {
+        r.source: (r.rate, r.epochs)
+        for r in mixture_plan(
+            df, {"web": 0.75, "wiki": 0.25}, budget_tokens=12
+        ).collect()
+    }
+    assert again == {s: (r.rate, r.epochs) for s, r in got.items()}
