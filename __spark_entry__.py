@@ -57,7 +57,7 @@ _ROUND_CHANGED = [
     # round 4: new surface
     "op_dissect_ordered", "st_multiline", "ir_phrase", "tx_bloom",
     "warc_harvest", "pg_group_split", "pg_crawl_diff", "dd_containment",
-    "dd_hrw_shards", "tx_vocab_by_lang", "dd_mixture_plan",
+    "dd_hrw_shards", "tx_vocab_by_lang", "dd_mixture_plan", "dd_lsh_eval",
     # round 4: behavior/plan changes (persist+hint, densified baseline,
     # left-join model, PSL depth, salted default, index replay)
     "wg_canonical", "ev_anomaly", "tx_lm_score", "pg_etld1", "pg_host_cap",
