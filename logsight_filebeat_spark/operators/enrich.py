@@ -283,3 +283,64 @@ def registered_domain(
     return df.join(
         F.broadcast(dim), df[host_col] == dim["_h"], "left"
     ).drop("_h")
+
+
+def url_path(col: Column | str = "url") -> Column:
+    """url → path component ('' ⇒ '/'); pure regexp in the scan, NULL-safe
+    like url_host (malformed urls yield '/'). Query strings and fragments
+    never count toward robots-style prefix rules."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def prefix_policy(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    default_allow: bool = True,
+) -> DataFrame:
+    """Robots.txt-style longest-prefix URL policy — the allow/deny gate a
+    Common-Crawl-scale fetch/refetch pipeline applies before spending a
+    request (and a curation pipeline applies retroactively when a site's
+    policy changes). ``rules`` is (host, prefix, allow) — the parsed form
+    of per-host robots directives.
+
+    Google robots semantics: the verdict comes from the LONGEST matching
+    rule prefix; an allow/deny tie at the same length resolves to allow
+    (least-restrictive); a url with no matching rule gets ``default_allow``.
+
+    Scale shape: the rule table is small (one row per directive) and
+    BROADCASTS; the join keys on host equality with the prefix test as a
+    residual filter, so the corpus never shuffles — followed by ONE hash
+    aggregate keyed by url (argmax over the ≤rules-per-host matches via a
+    struct max). No window over the corpus, no regex over the rules."""
+    host = url_host(url_col)
+    base = df.select(
+        F.col(url_col).alias("_u"), host.alias("_h"), url_path(url_col).alias("_p")
+    )
+    r = rules.select(
+        F.col("host").alias("_rh"),
+        F.col("prefix").alias("_rp"),
+        F.col("allow").cast("int").alias("_ra"),
+    )
+    j = base.join(
+        F.broadcast(r),
+        (F.col("_h") == F.col("_rh")) & F.col("_p").startswith(F.col("_rp")),
+        "left",
+    )
+    best = j.groupBy("_u", "_h").agg(
+        F.max(
+            F.struct(
+                F.length("_rp").alias("len"),
+                F.col("_ra").alias("allow"),
+                F.col("_rp").alias("prefix"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        F.col("_u").alias(url_col),
+        F.col("_h").alias("host"),
+        F.coalesce(F.col("_m.allow") == 1, F.lit(default_allow)).alias("allowed"),
+        F.col("_m.prefix").alias("rule_prefix"),
+    )

@@ -1060,3 +1060,150 @@ def log_templates(
         )
         .filter(F.col("n_events") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# KV (key=value) extraction — the Logstash `kv` / logfmt surface
+# ---------------------------------------------------------------------------
+
+def kv_fields(
+    df: DataFrame,
+    col: str,
+    keys: list[str] | tuple[str, ...],
+    field_split: str = " ",
+    value_split: str = "=",
+    prefix: str = "",
+) -> DataFrame:
+    """Project named key=value fields out of a structured-log line (the
+    Logstash ``kv`` filter / logfmt convention the Beats ecosystem feeds —
+    framework dep at /root/reference/go.mod:139; the reference's own mapper
+    fixtures carry exactly this shape in their messages).
+
+    Zero regex at runtime, mirroring dissect's literal-split philosophy:
+    the line splits once on ``field_split``, and each requested key takes
+    the FIRST token equal to ``key + value_split + rest`` (first
+    occurrence wins; a missing key yields NULL — the skip-on-missing
+    semantics of O8/O9, never ``''``). Pure array Columns in the scan:
+    at 100 TB this is a narrow map inside whole-stage codegen, one pass
+    over the line no matter how many keys project.
+    """
+    toks = F.split(F.col(col), re.escape(field_split))
+
+    # single-arg closure factory: a `lambda t, p=pat:` default-arg binding
+    # would give the lambda TWO parameters, which F.filter reads as the
+    # (element, index) form — the bound key would silently become the index.
+    def _starts_with(p: str):
+        return lambda t: t.startswith(p)
+
+    out = []
+    for k in keys:
+        pat = k + value_split
+        # F.get (0-based) returns NULL on empty arrays — ANSI-safe, unlike
+        # element_at which throws on out-of-bounds under ANSI mode.
+        hit = F.get(F.filter(toks, _starts_with(pat)), 0)
+        out.append(F.substr(hit, F.lit(len(pat) + 1)).alias(prefix + k))
+    return df.select("*", *out)
+
+
+def kv_pairs(
+    df: DataFrame,
+    col: str,
+    id_cols: tuple[str, ...] = ("url",),
+    field_split: str = " ",
+    value_split: str = "=",
+) -> DataFrame:
+    """Generic KV explode: every ``key=value`` token of the line becomes a
+    (id…, key, value) row — the dynamic-schema form of :func:`kv_fields`
+    for lines whose key set isn't known at compile time. Tokens without
+    ``value_split`` drop; the key is everything before the FIRST separator
+    occurrence, the value everything after (instr/substr — no regex).
+    One explode in the scan, no shuffle."""
+    toks = F.split(F.col(col), re.escape(field_split))
+    pair = F.explode(
+        F.filter(toks, lambda t: F.instr(t, value_split) > 0)
+    ).alias("_kv_tok")
+    tok = F.col("_kv_tok")
+    return (
+        df.select(*id_cols, pair)
+        .select(
+            *id_cols,
+            F.substring_index(tok, value_split, 1).alias("key"),
+            F.substr(
+                tok, F.instr(tok, value_split) + F.lit(len(value_split))
+            ).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Syslog decode — the Filebeat syslog input's RFC5424 frame
+# ---------------------------------------------------------------------------
+
+# RFC5424 severity/facility keyword tables (public constants)
+SYSLOG_SEVERITIES = [
+    "emerg", "alert", "crit", "err",
+    "warning", "notice", "info", "debug",
+]
+SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clock",
+    "local0", "local1", "local2", "local3", "local4", "local5",
+    "local6", "local7",
+]
+
+
+def syslog_decode(df: DataFrame, col: str = "line", out: str = "syslog") -> DataFrame:
+    """Decode RFC5424 syslog frames — the Filebeat syslog input's wire
+    format (framework surface via /root/reference/go.mod:139):
+
+        ``<PRI>VERSION TS HOST APP PROCID MSGID MSG``
+
+    PRI parses from between the leading ``<`` ``>`` with instr/substr (no
+    regex); ``facility = PRI / 8``, ``severity = PRI % 8``. A malformed
+    frame — missing brackets, non-numeric or out-of-range PRI (>191), or a
+    short header — decodes to a NULL struct, the row-failure semantics of
+    O5/O11 (never a half-populated event). The header splits on single
+    spaces with a 7-field limit so the free-text MSG keeps its spaces.
+    Everything is a pure Column chain: codegen'd, shuffle-free, and at
+    100 TB a narrow map over the scan like the grok path."""
+    line = F.col(col)
+    gt = F.instr(line, ">")
+    pri_s = F.when(
+        line.startswith("<") & (gt > 1), F.substr(line, F.lit(2), gt - 2)
+    )
+    pri = pri_s.try_cast("int")
+    rest = F.substr(line, gt + 1)
+    parts = F.split(rest, " ", 7)
+    ok = (
+        pri.isNotNull()
+        & (pri >= 0)
+        & (pri <= 191)
+        # try_cast alone would accept '1 2' via substr misalignment or
+        # ' 12' whitespace forms; pin the exact digit run.
+        & (pri_s == pri.cast("string"))
+        & (F.size(parts) == 7)
+        & (F.get(parts, 0) == F.lit("1"))
+    )
+    sev = pri % 8
+    fac = (pri / 8).cast("int")
+    struct = F.when(
+        ok,
+        F.struct(
+            fac.alias("facility"),
+            sev.alias("severity"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in SYSLOG_SEVERITIES]), sev + 1
+            ).alias("severity_name"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in SYSLOG_FACILITIES]),
+                F.when(fac < len(SYSLOG_FACILITIES), fac + 1),
+            ).alias("facility_name"),
+            F.get(parts, 1).alias("ts"),
+            F.get(parts, 2).alias("host"),
+            F.get(parts, 3).alias("app"),
+            F.get(parts, 4).alias("procid"),
+            F.get(parts, 5).alias("msgid"),
+            F.get(parts, 6).alias("msg"),
+        ),
+    )
+    return df.withColumn(out, struct)
