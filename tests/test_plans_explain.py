@@ -599,3 +599,72 @@ def test_rendezvous_shard_is_shuffle_free(spark):
     assert "Exchange" not in plan
     for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_stage not in plan
+
+
+# ---------------------------------------------------------------------------
+# storage-layout plans: bucketed co-located joins + dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketing is THE 100-TB co-location tool: two tables bucketed by the
+    same key into the same bucket count join with ZERO shuffle — each task
+    reads matching buckets from both sides. At 10^12 rows the recurring
+    join against an also-huge side (e.g. pages ⋈ per-url fetch history)
+    must not re-exchange either side every run; bucketed layout moves that
+    cost to write time, once."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in (("bkt_a", a), ("bkt_b", b)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(name)
+            )
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _formatted(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+        # contrast: the same join over plain (unbucketed) parquet shuffles
+        a.write.mode("overwrite").parquet(str(tmp_path / "plain_a"))
+        b.write.mode("overwrite").parquet(str(tmp_path / "plain_b"))
+        pj = spark.read.parquet(str(tmp_path / "plain_a")).join(
+            spark.read.parquet(str(tmp_path / "plain_b")), "k"
+        )
+        assert "Exchange" in _formatted(pj)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partitioned_scan_gets_dynamic_partition_pruning(spark, tmp_path):
+    """Hour/host-partitioned fact tables must prune partitions from a
+    dimension filter at RUNTIME (DPP): filtering the dim side of
+    fact ⋈ dim injects a dynamicpruning subquery into the fact scan's
+    partition filters, so a 10^12-row table reads only the joined hours —
+    the difference between scanning 100 TB and scanning one bucket."""
+    fact = spark.range(2000).select(
+        (F.col("id") % 24).alias("hour_bucket"), F.col("id").alias("v")
+    )
+    fact.write.mode("overwrite").partitionBy("hour_bucket").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(24).select(
+        F.col("id").alias("hour_bucket"),
+        F.when(F.col("id") < 3, "keep").otherwise("drop").alias("tag"),
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim.where(F.col("tag") == "keep"), "hour_bucket")
+    plan = _formatted(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() == 252  # hours 0,1,2: 84 ids each in range(2000)
