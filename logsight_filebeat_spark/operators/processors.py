@@ -1,0 +1,516 @@
+"""Beats processor suite — the libbeat event-pipeline processors the
+reference's shipper runs under, re-expressed as Catalyst column plans.
+
+The reference is a Beats output plugin (/root/reference/plugin/plugin.go:21,
+registered via the libbeat framework dep /root/reference/go.mod:139); every
+event it ships first passes the framework's processor chain configured in
+filebeat.yml. The plugin repo configures these rather than implementing them,
+so this module owns them natively — each processor compiles to pure Column
+expressions (zero Python in the hot path) and a whole CHAIN collapses into a
+single Catalyst Project over the scan (CollapseProject), i.e. the per-event
+interpreter loop Beats runs becomes one codegen'd projection at 10^12-row
+scale.
+
+Covered (libbeat `processors:` config surface):
+  * conditions — `when:` clauses: equals / contains / regexp / range /
+    has_fields + and / or / not combinators → ``compile_condition``
+  * drop_event (condition-gated row filter)
+  * add_fields / rename / copy_fields / drop_fields / include_fields
+  * convert (typed casts, ignore_missing / error-tag semantics)
+  * decode_json_fields (malformed ⇒ error tag, never a task failure)
+  * decode_csv_fields (RFC4180 quoting via from_csv)
+  * fingerprint (md5 / sha256 over a canonical field encoding)
+  * truncate_fields (BYTE-budget truncation, UTF-8-boundary-safe)
+  * urldecode
+  * rate_limit (deterministic batch analogue: first K per key+window)
+  * detect_mime_type (magic-byte sniffing over binary columns)
+
+Scale notes: every processor is a projection or a filter — no shuffle, no
+UDF, no driver loop. ``compile_chain`` folds N processors into consecutive
+``select``s that Catalyst collapses to ONE Project (pinned by
+tests/test_plans_explain.py), so chain length never multiplies scan cost.
+rate_limit is the one windowed member: it shuffles once on (key, window) —
+the same partitioning its downstream per-key sinks need anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logsight_filebeat_spark.functions.hashing import md5_hex
+
+# ---------------------------------------------------------------------------
+# conditions (libbeat `when:`)
+# ---------------------------------------------------------------------------
+
+_RANGE_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+
+
+def compile_condition(cond: Mapping[str, Any]) -> Column:
+    """Compile a Beats `when:` condition dict to a boolean Column.
+
+    Supported keys (exactly one per dict, like the Beats YAML):
+      equals: {field: value, ...}        — all pairs must match (AND)
+      contains: {field: substring, ...}  — substring match, AND across pairs
+      regexp: {field: pattern, ...}      — RE2-style match, AND across pairs
+      range: {field: {gt/gte/lt/lte: num, ...}, ...}
+      has_fields: [field, ...]           — all present AND non-null
+      and / or: [cond, ...]              — combinators
+      not: cond
+
+    NULL semantics: a comparison against a NULL field is FALSE (the event
+    lacks the field ⇒ the condition doesn't hold), never NULL. Each leaf is
+    built two-valued with PUSHABLE primitives — eqNullSafe for equals,
+    isNotNull AND pred otherwise — rather than coalesce(..., false), which
+    Catalyst cannot translate to parquet filters: the same condition then
+    prunes row groups at the scan (plan-pinned in test_plans_explain.py).
+    """
+    if len(cond) != 1:
+        raise ValueError(f"condition must have exactly one key: {cond!r}")
+    (kind, body), = cond.items()
+    if kind == "and":
+        out = compile_condition(body[0])
+        for c in body[1:]:
+            out = out & compile_condition(c)
+        return out
+    if kind == "or":
+        out = compile_condition(body[0])
+        for c in body[1:]:
+            out = out | compile_condition(c)
+        return out
+    if kind == "not":
+        return ~compile_condition(body)
+    if kind == "has_fields":
+        out = F.lit(True)
+        for f in body:
+            out = out & F.col(f).isNotNull()
+        return out
+
+    leaves = []
+    if kind == "equals":
+        for f, v in sorted(body.items()):
+            leaves.append(F.col(f).eqNullSafe(F.lit(v)))
+    elif kind == "contains":
+        for f, v in sorted(body.items()):
+            leaves.append(
+                F.col(f).isNotNull() & F.contains(F.col(f), F.lit(v))
+            )
+    elif kind == "regexp":
+        for f, v in sorted(body.items()):
+            leaves.append(F.col(f).isNotNull() & F.col(f).rlike(v))
+    elif kind == "range":
+        for f, ops in sorted(body.items()):
+            for op, v in sorted(ops.items()):
+                if op not in _RANGE_OPS:
+                    raise ValueError(f"range op {op!r} not in {sorted(_RANGE_OPS)}")
+                leaves.append(
+                    F.col(f).isNotNull()
+                    & getattr(F.col(f), _RANGE_OPS[op])(F.lit(v))
+                )
+    else:
+        raise ValueError(f"unsupported condition kind: {kind!r}")
+    if not leaves:
+        raise ValueError(f"empty condition body: {cond!r}")
+    out = leaves[0]
+    for leaf in leaves[1:]:
+        out = out & leaf
+    return out
+
+
+def drop_event(df: DataFrame, when: Mapping[str, Any]) -> DataFrame:
+    """drop_event processor: remove rows matching the condition. A pure
+    filter — pushes into the scan when the condition references only scan
+    columns."""
+    return df.where(~compile_condition(when))
+
+
+# ---------------------------------------------------------------------------
+# field-shape processors (projection-only)
+# ---------------------------------------------------------------------------
+
+
+def rename_fields(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """rename processor: {from: to}. Fails at compile time if `from` is
+    missing (Beats' fail_on_error default) — never at runtime."""
+    out = df
+    for src, dst in mapping.items():
+        out = out.withColumnRenamed(src, dst)
+        if src in out.columns:
+            raise ValueError(f"rename source {src!r} still present")
+    return out
+
+
+def copy_fields(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """copy_fields processor: {from: to}, `to` must not exist."""
+    out = df
+    for src, dst in mapping.items():
+        if dst in out.columns:
+            raise ValueError(f"copy_fields target {dst!r} exists")
+        out = out.withColumn(dst, F.col(src))
+    return out
+
+
+def drop_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    return df.drop(*fields)
+
+
+def include_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    return df.select(*fields)
+
+
+# ---------------------------------------------------------------------------
+# convert
+# ---------------------------------------------------------------------------
+
+
+def convert_fields(
+    df: DataFrame,
+    conversions: Sequence[Mapping[str, str]],
+    error_col: str = "_convert_error",
+) -> DataFrame:
+    """convert processor: [{"from": col, "to": out_col?, "type": t}, ...].
+
+    Semantics (Beats convert, fail_on_error:false + tagging): each
+    conversion try_casts — an unconvertible value yields NULL in the output
+    field and appends the field name to ``error_col`` (array of failed
+    field names, empty when clean); the row itself NEVER fails (ANSI-mode
+    safe). ``to`` defaults to in-place."""
+    # Error flags evaluate BEFORE any in-place replacement (a conversion
+    # with to == from overwrites its own source; tagging must see the
+    # original value, not the casted NULL).
+    errs: list[Column] = []
+    for c in conversions:
+        src, typ = c["from"], c["type"]
+        casted = F.col(src).try_cast(typ)
+        errs.append(
+            F.when(F.col(src).isNotNull() & casted.isNull(), F.lit(src))
+        )
+    out = df.withColumn(
+        error_col,
+        F.array_compact(F.array(*errs)) if errs else F.array().cast("array<string>"),
+    )
+    for c in conversions:
+        src, typ = c["from"], c["type"]
+        out = out.withColumn(c.get("to", src), F.col(src).try_cast(typ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decode_json_fields / decode_csv_fields
+# ---------------------------------------------------------------------------
+
+
+def decode_json_fields(
+    df: DataFrame,
+    field: str,
+    schema: str,
+    target: str = "decoded",
+    error_col: str = "_json_error",
+) -> DataFrame:
+    """decode_json_fields processor: parse a JSON-string column into a typed
+    struct column.
+
+    Error semantics (add_error_key:true): ``error_col`` is TRUE iff the
+    field is non-null but not valid JSON. Detection rides
+    ``from_json(..., map<string,string>)`` — Spark returns NULL for a
+    malformed document under that schema (while the typed struct parse
+    returns a null-filled struct), so invalidity is distinguishable from
+    merely-missing keys without any UDF. Both parses sit in the same
+    codegen stage; Catalyst dedups the common child."""
+    col = F.col(field)
+    return df.withColumn(target, F.from_json(col, schema)).withColumn(
+        error_col,
+        col.isNotNull()
+        & F.from_json(col, "map<string,string>").isNull(),
+    )
+
+
+def decode_csv_fields(
+    df: DataFrame,
+    field: str,
+    schema: str,
+    target: str = "decoded",
+    sep: str = ",",
+) -> DataFrame:
+    """decode_csv_fields processor: parse an RFC4180 CSV line (quoted fields,
+    doubled quotes, embedded separators/newlines) into a typed struct via
+    the JVM univocity parser (`from_csv`) — never a hand-split. The
+    escape option is pinned to '"' (RFC4180 doubled-quote escaping);
+    Spark's default escape is backslash, which silently mis-parses
+    fields holding doubled quotes."""
+    return df.withColumn(
+        target, F.from_csv(F.col(field), schema, {"sep": sep, "escape": '"'})
+    )
+
+
+def to_csv_line(cols: Sequence[Column | str], sep: str = ",") -> Column:
+    """RFC4180 encoder matching decode_csv_fields: a field containing the
+    separator, a double quote, or a newline is wrapped in quotes with inner
+    quotes doubled. Pure Column — the encoder half of a CSV sink."""
+    parts = []
+    for c in cols:
+        c = F.col(c) if isinstance(c, str) else c
+        s = c.cast("string")
+        needs = (
+            F.contains(s, F.lit(sep))
+            | F.contains(s, F.lit('"'))
+            | F.contains(s, F.lit("\n"))
+        )
+        quoted = F.concat(
+            F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"')
+        )
+        parts.append(F.when(needs, quoted).otherwise(s))
+    return F.concat_ws(sep, *parts)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(
+    fields: Sequence[Column | str],
+    names: Sequence[str],
+    method: str = "sha256",
+) -> Column:
+    """fingerprint processor: a stable content hash over selected fields.
+
+    Canonical encoding (documented, engine-portable): fields sorted by NAME,
+    each contributing ``name|value`` with NULL rendering as the empty
+    string, segments joined by ``|``; the hash is the lowercase hex md5 /
+    sha256 of the UTF-8 bytes. Matches DuckDB's md5()/sha256() byte-for-byte
+    so fingerprints survive an engine migration — the property that makes
+    them usable as cross-system dedup keys."""
+    if len(fields) != len(names):
+        raise ValueError("fields and names must align")
+    ordered = sorted(zip(names, fields), key=lambda kv: kv[0])
+    parts: list[Column] = []
+    for name, c in ordered:
+        c = F.col(c) if isinstance(c, str) else c
+        parts.append(F.lit(name))
+        parts.append(F.coalesce(c.cast("string"), F.lit("")))
+    payload = F.concat_ws("|", *parts)
+    if method == "md5":
+        return md5_hex(payload)
+    if method == "sha256":
+        return F.sha2(F.encode(payload, "UTF-8"), 256)
+    raise ValueError(f"unsupported fingerprint method: {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# truncate_fields (byte budget, UTF-8 safe)
+# ---------------------------------------------------------------------------
+
+
+def truncate_utf8(col: Column | str, max_bytes: int) -> Column:
+    """truncate_fields processor: cap a string at ``max_bytes`` of UTF-8
+    WITHOUT splitting a multi-byte character (a naive byte slice yields
+    mojibake / invalid UTF-8 that poisons downstream tokenizers).
+
+    Plan shape: a codegen'd fold over the char array accumulating the byte
+    count — O(chars) per row inside WholeStageCodegen, no UDF. The common
+    all-ASCII case short-circuits to a plain substring (octet_length ==
+    char length ⇒ bytes are chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.aggregate(
+        F.split(c, ""),
+        F.struct(F.lit(0).alias("b"), F.lit("").alias("o")),
+        lambda acc, ch: F.struct(
+            (acc["b"] + F.octet_length(ch)).alias("b"),
+            F.when(
+                acc["b"] + F.octet_length(ch) <= F.lit(max_bytes),
+                F.concat(acc["o"], ch),
+            )
+            .otherwise(acc["o"])
+            .alias("o"),
+        ),
+        lambda acc: acc["o"],
+    )
+    return F.when(F.octet_length(c) <= F.lit(max_bytes), c).when(
+        F.octet_length(c) == F.length(c), F.substring(c, 1, max_bytes)
+    ).otherwise(folded)
+
+
+# ---------------------------------------------------------------------------
+# urldecode
+# ---------------------------------------------------------------------------
+
+
+def urldecode(col: Column | str) -> Column:
+    """urldecode processor — percent-decoding via the JVM codec; NULL (not a
+    task failure) on malformed sequences via try_url_decode."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_url_decode(c)
+
+
+# ---------------------------------------------------------------------------
+# rate_limit (deterministic batch analogue)
+# ---------------------------------------------------------------------------
+
+
+def rate_limit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    limit: int,
+    window: str = "minute",
+    keep_col: str = "_kept",
+) -> DataFrame:
+    """rate_limit processor, batch form: keep the FIRST ``limit`` events per
+    (key, window-bucket) in event-time order — the deterministic analogue
+    of Beats' token-bucket (which is wall-clock and admission-order
+    dependent, hence untestable); ties break on the full ordering key so
+    reruns keep identical rows.
+
+    Scale: one shuffle on (key, bucket) for the window rank; no global
+    sort. At 10^12 rows a hot key splits across buckets by construction
+    (the bucket IS time), so the skew ceiling is limit·buckets, not
+    corpus size."""
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc(window, F.col(ts_col))
+    w = (
+        Window.partitionBy(F.col(key_col), bucket)
+        .orderBy(F.col(ts_col), F.monotonically_increasing_id())
+    )
+    # monotonically_increasing_id is partition-order-dependent; callers that
+    # need cross-engine determinism order by a real unique column instead.
+    return df.withColumn(keep_col, F.row_number().over(w) <= limit)
+
+
+def rate_limit_by(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    limit: int,
+    window: str = "minute",
+) -> DataFrame:
+    """Deterministic rate_limit: rank by (ts, order_col) — fully
+    reproducible across engines and reruns. Returns only the kept rows."""
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc(window, F.col(ts_col))
+    w = Window.partitionBy(F.col(key_col), bucket).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= limit)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# detect_mime_type (magic-byte sniffing)
+# ---------------------------------------------------------------------------
+
+# (hex prefix, mime) — checked longest-first so e.g. WARC/ wins over text.
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("255044462D", "application/pdf"),  # %PDF-
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383", "image/gif"),  # GIF87a/GIF89a
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+    ("574152432F", "application/warc"),  # "WARC/"
+    ("424D", "image/bmp"),
+    ("52494646", "audio/x-riff"),  # RIFF container (wav/avi)
+)
+
+
+def detect_mime_type(bin_col: Column | str) -> Column:
+    """detect_mime_type processor over a binary column: sniff well-known
+    magic-byte prefixes; fall back to text/html when the payload (after
+    optional ASCII whitespace) starts with '<', else text/plain.
+
+    Pure Column: ONE hex() of the first 16 bytes feeds every prefix test —
+    payload bytes never leave the scan and never shuffle (the multimodal
+    rule, operators/multimodal.py)."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    head = F.hex(F.substring(c, 1, 16))
+    out = None
+    for prefix, mime in sorted(MAGIC_PREFIXES, key=lambda p: -len(p[0])):
+        cond = head.startswith(prefix)
+        out = F.when(cond, mime) if out is None else out.when(cond, mime)
+    text_head = F.ltrim(F.substring(c, 1, 32).cast("string"))
+    return out.when(text_head.startswith("<"), "text/html").otherwise(
+        "text/plain"
+    )
+
+
+# ---------------------------------------------------------------------------
+# chain compiler
+# ---------------------------------------------------------------------------
+
+
+def compile_chain(
+    df: DataFrame, processors: Sequence[Mapping[str, Any]]
+) -> DataFrame:
+    """Compile an ordered Beats processor list into a DataFrame plan.
+
+    Each entry is {"<type>": <config>} with an optional "when" condition
+    (the Beats per-processor gate): a gated projection processor applies
+    per-row via CASE; a gated drop_event filters only matching rows.
+    Projection processors fold into consecutive selects that Catalyst
+    collapses into ONE Project (CollapseProject) — chain length does not
+    multiply scan cost (plan-pinned in tests)."""
+    out = df
+    for proc in processors:
+        body = dict(proc)
+        when = body.pop("when", None)
+        if len(body) != 1:
+            raise ValueError(f"processor must have one type key: {proc!r}")
+        (kind, cfg), = body.items()
+        gate = compile_condition(when) if when is not None else None
+        if kind == "drop_event":
+            cond = compile_condition(cfg["when"]) if cfg else F.lit(True)
+            if gate is not None:
+                cond = gate & cond
+            out = out.where(~cond)
+            continue
+        if kind == "add_fields":
+            for name, val in sorted(cfg.items()):
+                col = F.lit(val)
+                if gate is not None:
+                    # gated set: non-matching rows keep the old value, or
+                    # NULL when the column is new
+                    old = F.col(name) if name in out.columns else F.lit(None)
+                    col = F.when(gate, col).otherwise(old)
+                out = out.withColumn(name, col)
+        elif kind == "rename":
+            out = rename_fields(out, cfg)
+        elif kind == "copy_fields":
+            out = copy_fields(out, cfg)
+        elif kind == "drop_fields":
+            out = drop_fields(out, cfg)
+        elif kind == "include_fields":
+            out = include_fields(out, cfg)
+        elif kind == "convert":
+            out = convert_fields(out, cfg)
+        elif kind == "truncate_fields":
+            for name in cfg["fields"]:
+                col = truncate_utf8(name, cfg["max_bytes"])
+                if gate is not None:
+                    col = F.when(gate, col).otherwise(F.col(name))
+                out = out.withColumn(name, col)
+        elif kind == "urldecode":
+            for name in cfg["fields"]:
+                col = urldecode(name)
+                if gate is not None:
+                    col = F.when(gate, col).otherwise(F.col(name))
+                out = out.withColumn(name, col)
+        elif kind == "fingerprint":
+            out = out.withColumn(
+                cfg.get("target_field", "fingerprint"),
+                fingerprint(
+                    cfg["fields"], cfg["fields"], cfg.get("method", "sha256")
+                ),
+            )
+        else:
+            raise ValueError(f"unsupported processor type: {kind!r}")
+    return out

@@ -668,3 +668,65 @@ def test_partitioned_scan_gets_dynamic_partition_pruning(spark, tmp_path):
     plan = _formatted(j)
     assert "dynamicpruning" in plan.lower(), plan
     assert j.count() == 252  # hours 0,1,2: 84 ids each in range(2000)
+
+
+def test_drop_event_condition_pushes_into_scan(spark):
+    from logsight_filebeat_spark.operators.processors import drop_event
+
+    pg = spark.read.parquet(PAGES)
+    out = drop_event(
+        pg.select("url", "lang"),
+        {"or": [{"equals": {"lang": "en"}}, {"contains": {"url": "/path/"}}]},
+    )
+    plan = _formatted(out)
+    # a compiled `when:` condition is a plain boolean predicate — Catalyst
+    # must push it to the parquet scan (at 100TB this is the difference
+    # between reading the corpus and reading a slice)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "lang" in pushed[0] or "url" in pushed[0], pushed[0]
+    assert "BatchEvalPython" not in plan
+
+
+def test_processor_chain_is_single_project_over_scan(spark):
+    from logsight_filebeat_spark.operators.processors import compile_chain
+
+    pg = spark.read.parquet(PAGES)
+    out = compile_chain(
+        pg.select("url", "lang", "warc_ts"),
+        [
+            {"add_fields": {"pipeline": "v1"}},
+            {"rename": {"lang": "language"}},
+            {"copy_fields": {"url": "url_copy"}},
+            {"convert": [{"from": "warc_ts", "to": "ts_s", "type": "string"}]},
+            {"truncate_fields": {"fields": ["url_copy"], "max_bytes": 16}},
+            {"drop_fields": ["warc_ts"]},
+        ],
+    )
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # CollapseProject: the N-processor chain costs ONE projection, so chain
+    # length never multiplies scan cost — the Beats interpreter-loop
+    # equivalent is a single codegen stage
+    assert optimized.count("Project") == 1, optimized
+    plan = _formatted(out)
+    assert "BatchEvalPython" not in plan
+
+
+def test_rate_limit_shuffles_once_on_key_bucket(spark):
+    from logsight_filebeat_spark.operators.processors import rate_limit_by
+
+    e = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:00")], "id int, key string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = _formatted(rate_limit_by(e, "key", "ts", "id", 3, "hour"))
+    # one hashpartitioning exchange on (key, bucket); never a single-
+    # partition global window
+    assert plan.count("Exchange (") == 1, plan
+    args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    # partitions on (key, bucket) — the bucket expr is projected to _w0
+    assert args and "key" in args[0] and "_w0" in args[0], plan
+    assert "SinglePartition" not in plan
+    # WindowGroupLimit: the rank<=limit cap applies MAP-SIDE before the
+    # shuffle — at 10^12 rows the exchange moves at most limit rows per
+    # (key, bucket, input partition), not the corpus
+    assert "WindowGroupLimit" in plan, plan
