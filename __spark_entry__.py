@@ -58,7 +58,7 @@ _ROUND_CHANGED = [
     "op_dissect_ordered", "st_multiline", "ir_phrase", "tx_bloom",
     "warc_harvest", "pg_group_split", "pg_crawl_diff", "dd_containment",
     "dd_hrw_shards", "tx_vocab_by_lang", "dd_mixture_plan", "dd_lsh_eval",
-    "op_kv", "op_kv_pairs", "op_syslog", "pg_robots",
+    "op_kv", "op_kv_pairs", "op_syslog", "pg_robots", "st_sessions",
     # round 4: Beats processor suite
     "op_when", "op_proc_chain", "op_decode_json", "op_decode_csv",
     "op_fingerprint", "op_truncate", "op_urldecode", "op_rate_limit",

@@ -130,3 +130,44 @@ def content_dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([hash_col])
     )
+
+
+def session_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Streaming gap-sessionization: the stock ``session_window`` aggregate
+    over a watermarked event stream — the streaming twin of
+    operators/aggregate.py::sessionize (same gap-merge rule, same outputs),
+    so a batch backfill and the live stream produce the SAME session table.
+
+    State is bounded by the watermark: a session closes (and its state
+    drops) once the watermark passes session_end — the property a batch
+    window over an unbounded stream cannot offer. Scale shape: one shuffle
+    on key; session merge is per-key state-store work, never a sort of the
+    corpus."""
+    aggs = [
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("last_ts").alias("session_end"),
+            *(
+                ["n_events", "total_value"]
+                if value_col is not None
+                else ["n_events"]
+            ),
+        )
+    )

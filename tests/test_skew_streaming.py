@@ -423,3 +423,55 @@ def test_multiline_stream_validation():
     ):
         with pytest.raises(Exception):
             multiline_events(None, **kwargs)
+
+
+def test_session_stream_matches_batch_sessionize(spark, tmp_path):
+    """session_stream (the dedicated streaming twin in micro_batch.py)
+    emits the SAME session table as the batch sessionize operator — column
+    names included — so a live stream and a batch backfill are
+    interchangeable."""
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.operators.aggregate import sessionize
+    from logsight_filebeat_spark.streaming.micro_batch import session_stream
+
+    t0 = datetime(2024, 3, 1, 8, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        (1, t0, 5, 1.5),
+        (2, t0 + 29 * m, 5, 2.5),          # 29 min gap: same session
+        (3, t0 + 29 * m + 30 * m, 5, 0.5),  # exactly 30 min: still merges
+        (4, t0 + 200 * m, 5, 4.0),          # new session
+        (5, t0, 6, 9.0),
+    ]
+    in_dir = str(tmp_path / "in")
+    batch_df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    batch_df.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).parquet(in_dir)
+    out = session_stream(
+        stream, key_col="user_id", ts_col="ts", gap="30 minutes",
+        watermark="2 hours", value_col="value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_twin")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.table("sess_twin").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in sessionize(batch_df, gap="30 minutes").collect()
+    }
+    assert streamed == batch
+    assert len(batch) == 3  # user 5: one merged session + one late; user 6: one
