@@ -59,6 +59,7 @@ _ROUND_CHANGED = [
     "warc_harvest", "pg_group_split", "pg_crawl_diff", "dd_containment",
     "dd_hrw_shards", "tx_vocab_by_lang", "dd_mixture_plan", "dd_lsh_eval",
     "op_kv", "op_kv_pairs", "op_syslog", "pg_robots", "st_sessions",
+    "st_ss_join", "ev_funnel", "ev_retention",
     # round 4: Beats processor suite
     "op_when", "op_proc_chain", "op_decode_json", "op_decode_csv",
     "op_fingerprint", "op_truncate", "op_urldecode", "op_rate_limit",

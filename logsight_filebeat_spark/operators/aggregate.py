@@ -283,3 +283,87 @@ def rate_anomalies(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) >= z_threshold).alias("is_anomaly"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: how many keys completed step 1, then
+    step 2 STRICTLY AFTER their step-1 completion, and so on. One row per
+    step: (step, event_type, n_users). A key completes step i at the
+    earliest event of that type after its step-(i-1) completion time — the
+    classic strict-sequence funnel.
+
+    Scale shape: each level is one filtered hash aggregate down to a
+    per-key 1-row table, then an equi-join of the NEXT level's events
+    against that (users ≪ events, so AQE broadcasts it in practice).
+    Never a per-key sort of the event log, no window over the corpus.
+    Levels are persisted so level i+1 does not recompute levels 1..i."""
+    from logsight_filebeat_spark.functions.caching import track_persist
+
+    reached: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            nxt = ev.groupBy("_k").agg(F.min("_ts").alias("_reached"))
+        else:
+            nxt = (
+                ev.join(
+                    reached.select("_k", F.col("_reached").alias("_prev")),
+                    "_k",
+                )
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy("_k")
+                .agg(F.min("_ts").alias("_reached"))
+            )
+        reached = track_persist(nxt)
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col("n_users").cast("long").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: keys are grouped by their first-seen calendar day
+    (the cohort); for every later activity day the table counts how many
+    distinct keys of that cohort were active ``day_offset`` days in —
+    the standard triangle retention matrix.
+
+    Scale shape: one hash aggregate to the per-key first-seen dim (|keys|
+    rows, tiny next to the event log), one equi-join of the log against it
+    on key (AQE broadcasts it when it fits), one distinct-count aggregate
+    on (cohort_day, day_offset, key) — all partial-aggregated, no window,
+    no sort."""
+    first = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.date_trunc("day", F.min(ts_col)).alias("cohort_day")
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.date_trunc("day", F.col(ts_col)).alias("_day"),
+        )
+        .join(first, "_k")
+        .groupBy(
+            "cohort_day",
+            F.datediff("_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("_k").alias("n_users"))
+    )

@@ -171,3 +171,42 @@ def session_stream(
             ),
         )
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time bound: pair every left event
+    with the right events of the same key that happen within
+    ``[left_ts, left_ts + max_delay]`` — the click-attribution /
+    request-response correlation shape. Both sides are watermarked and the
+    join carries the range condition Spark needs to EVICT buffered state:
+    a left row's state drops once the right watermark passes
+    left_ts + max_delay, so state is bounded by (rate × delay), never the
+    stream history. Inner matches emit immediately (no watermark wait).
+
+    Column names other than ``key_col`` must be disjoint between the two
+    sides (pre-rename upstream); the joined frame carries one key column."""
+    overlap = (set(left.columns) & set(right.columns)) - {key_col}
+    if overlap:
+        raise ValueError(
+            f"correlate_streams: both sides carry {sorted(overlap)}; "
+            "rename upstream so only the key is shared"
+        )
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key_col} = r.{key_col} AND r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + interval {max_delay}"
+    )
+    joined = l.join(r, cond, "inner")
+    keep = [F.col(f"l.{key_col}").alias(key_col)]
+    keep += [F.col(f"l.{c}") for c in left.columns if c != key_col]
+    keep += [F.col(f"r.{c}") for c in right.columns if c != key_col]
+    return joined.select(*keep)

@@ -309,3 +309,57 @@ def test_rate_anomalies_densified_hours_flag_cliff_to_zero(spark):
     # opt-out keeps the sparse observed-buckets-only reading
     sparse = rate_anomalies(df, "event_type", "ts", trailing=24, densify=False)
     assert sparse.count() == 26  # 25 busy hours + the single event hour
+
+
+def test_funnel_strict_sequence(spark):
+    """A user only counts at step i if the step-i event is STRICTLY after
+    their step-(i-1) completion; out-of-order completions don't count."""
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.operators.aggregate import funnel_steps
+
+    t0 = datetime(2024, 5, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase"),
+        # user 2: purchase BEFORE click — stops at click
+        (2, t0, "view"), (2, t0 + 2 * m, "click"), (2, t0 + m, "purchase"),
+        # user 3: click before any view — never enters step 2
+        (3, t0 + m, "view"), (3, t0, "click"),
+        # user 4: view only
+        (4, t0, "view"),
+        # user 5: no view at all — not even step 1
+        (5, t0, "click"), (5, t0 + m, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        (r.step, r.event_type): r.n_users
+        for r in funnel_steps(df, steps=("view", "click", "purchase")).collect()
+    }
+    assert got == {(1, "view"): 4, (2, "click"): 2, (3, "purchase"): 1}
+
+
+def test_cohort_retention_triangle(spark):
+    """day_offset counts calendar days since the user's first-seen day;
+    multiple events on one day count the user once."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import cohort_retention
+
+    d = lambda day, h: datetime(2024, 5, day, h, 0, 0)
+    rows = [
+        (1, d(1, 9)), (1, d(1, 23)), (1, d(3, 1)),   # cohort 5/1, offsets 0,0,2
+        (2, d(1, 5)), (2, d(2, 5)),                   # cohort 5/1, offsets 0,1
+        (3, d(2, 12)),                                 # cohort 5/2, offset 0
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r.cohort_day.strftime("%m-%d"), r.day_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("05-01", 0): 2, ("05-01", 1): 1, ("05-01", 2): 1, ("05-02", 0): 1,
+    }

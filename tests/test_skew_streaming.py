@@ -475,3 +475,73 @@ def test_session_stream_matches_batch_sessionize(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) == 3  # user 5: one merged session + one late; user 6: one
+
+
+def test_correlate_streams_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream inner join with a time bound equals the batch range
+    join on the same data: same-key right events within [l_ts, l_ts+30m]
+    pair up, boundary-inclusive both ends, everything else drops."""
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.streaming.micro_batch import correlate_streams
+
+    t0 = datetime(2024, 4, 1, 9, 0, 0)
+    m = timedelta(minutes=1)
+    views = [  # (user, view_id, ts)
+        (7, 100, t0),
+        (7, 101, t0 + 60 * m),
+        (8, 102, t0),
+    ]
+    clicks = [  # (user, click_id, ts)
+        (7, 200, t0 + 5 * m),     # matches view 100
+        (7, 201, t0 + 30 * m),    # exactly +30m: inclusive -> matches 100
+        (7, 202, t0 + 59 * m),    # matches nothing (before 101, after 100+30m)
+        (7, 203, t0 + 61 * m),    # matches view 101
+        (8, 204, t0 - m),         # before the view: no match
+        (9, 205, t0),             # key with no views
+    ]
+    v_dir, c_dir = str(tmp_path / "v"), str(tmp_path / "c")
+    spark.createDataFrame(
+        views, "user_id bigint, view_id bigint, view_ts timestamp"
+    ).write.parquet(v_dir)
+    spark.createDataFrame(
+        clicks, "user_id bigint, click_id bigint, click_ts timestamp"
+    ).write.parquet(c_dir)
+    vs = spark.readStream.schema(
+        "user_id bigint, view_id bigint, view_ts timestamp"
+    ).parquet(v_dir)
+    cs = spark.readStream.schema(
+        "user_id bigint, click_id bigint, click_ts timestamp"
+    ).parquet(c_dir)
+    out = correlate_streams(
+        vs, cs, key_col="user_id", left_ts="view_ts", right_ts="click_ts",
+        max_delay="30 minutes", watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sscorr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.table("sscorr").collect()
+    }
+    assert got == {(7, 100, 200), (7, 100, 201), (7, 101, 203)}
+
+
+def test_correlate_streams_rejects_colliding_columns(spark, tmp_path):
+    import pytest
+
+    from logsight_filebeat_spark.streaming.micro_batch import correlate_streams
+
+    d = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(1, 2)], "user_id bigint, ts bigint"
+    ).write.parquet(d)
+    s = spark.readStream.schema("user_id bigint, ts bigint").parquet(d)
+    with pytest.raises(ValueError, match="rename upstream"):
+        correlate_streams(s, s, left_ts="ts", right_ts="ts")
