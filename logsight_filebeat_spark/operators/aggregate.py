@@ -239,6 +239,11 @@ def rate_anomalies(
         F.date_trunc("hour", F.col(ts_col)).alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
     if densify:
+        # the densify path consumes `hourly` TWICE (span + the grid join);
+        # persist so the corpus-wide count aggregate runs once, not twice
+        from logsight_filebeat_spark.functions.caching import track_persist
+
+        hourly = track_persist(hourly)
         span = hourly.groupBy("key").agg(
             F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
         )

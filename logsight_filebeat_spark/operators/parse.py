@@ -1156,16 +1156,22 @@ def syslog_decode(df: DataFrame, col: str = "line", out: str = "syslog") -> Data
     """Decode RFC5424 syslog frames — the Filebeat syslog input's wire
     format (framework surface via /root/reference/go.mod:139):
 
-        ``<PRI>VERSION TS HOST APP PROCID MSGID MSG``
+        ``<PRI>VERSION TS HOST APP PROCID MSGID SD MSG``
 
     PRI parses from between the leading ``<`` ``>`` with instr/substr (no
-    regex); ``facility = PRI / 8``, ``severity = PRI % 8``. A malformed
-    frame — missing brackets, non-numeric or out-of-range PRI (>191), or a
-    short header — decodes to a NULL struct, the row-failure semantics of
+    regex); ``facility = PRI / 8``, ``severity = PRI % 8``. The mandatory
+    STRUCTURED-DATA field is either NILVALUE ``-`` (decodes to a NULL
+    ``sd``) or one-or-more ``[id k="v" ...]`` elements captured verbatim
+    into ``sd`` — PARAM-VALUEs may contain spaces and escaped ``\\]``, so
+    SD must be lexed (bracket-aware, escape-aware) before the free-text
+    MSG can start; a frame whose 7th field opens with neither ``-`` nor a
+    well-formed element chain is malformed. A malformed frame — missing
+    brackets, non-numeric or out-of-range PRI (>191), a short header, or
+    bad SD — decodes to a NULL struct, the row-failure semantics of
     O5/O11 (never a half-populated event). The header splits on single
-    spaces with a 7-field limit so the free-text MSG keeps its spaces.
-    Everything is a pure Column chain: codegen'd, shuffle-free, and at
-    100 TB a narrow map over the scan like the grok path."""
+    spaces with a 7-field limit so SD+MSG keep their spaces. Everything
+    is a pure Column chain: codegen'd, shuffle-free, and at 100 TB a
+    narrow map over the scan like the grok path."""
     line = F.col(col)
     gt = F.instr(line, ">")
     pri_s = F.when(
@@ -1174,6 +1180,17 @@ def syslog_decode(df: DataFrame, col: str = "line", out: str = "syslog") -> Data
     pri = pri_s.try_cast("int")
     rest = F.substr(line, gt + 1)
     parts = F.split(rest, " ", 7)
+    # 7th field = SD (NILVALUE or bracketed elements; ']' escapes as '\]')
+    # then one SP and the MSG. Lex SD with an anchored escape-aware regex;
+    # an empty capture means the SD token is malformed.
+    tail = F.get(parts, 6)
+    sd_raw = F.regexp_extract(
+        tail, r"^(-|(?:\[(?:[^\]\\]|\\.)*\])+)(?: |$)", 1
+    )
+    msg = F.when(
+        F.length(tail) > F.length(sd_raw),
+        F.substr(tail, F.length(sd_raw) + 2),
+    )
     ok = (
         pri.isNotNull()
         & (pri >= 0)
@@ -1183,6 +1200,7 @@ def syslog_decode(df: DataFrame, col: str = "line", out: str = "syslog") -> Data
         & (pri_s == pri.cast("string"))
         & (F.size(parts) == 7)
         & (F.get(parts, 0) == F.lit("1"))
+        & (sd_raw != "")
     )
     sev = pri % 8
     fac = (pri / 8).cast("int")
@@ -1203,7 +1221,8 @@ def syslog_decode(df: DataFrame, col: str = "line", out: str = "syslog") -> Data
             F.get(parts, 3).alias("app"),
             F.get(parts, 4).alias("procid"),
             F.get(parts, 5).alias("msgid"),
-            F.get(parts, 6).alias("msg"),
+            F.when(sd_raw != "-", sd_raw).alias("sd"),
+            msg.alias("msg"),
         ),
     )
     return df.withColumn(out, struct)

@@ -135,12 +135,17 @@ def drop_event(df: DataFrame, when: Mapping[str, Any]) -> DataFrame:
 
 def rename_fields(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     """rename processor: {from: to}. Fails at compile time if `from` is
-    missing (Beats' fail_on_error default) — never at runtime."""
+    missing or `to` already exists (Beats' fail_on_error default) — never
+    at runtime. The checks must run BEFORE withColumnRenamed: Spark's
+    rename is a silent no-op for a missing source, which would let a typo'd
+    config drop the target column without a trace."""
     out = df
     for src, dst in mapping.items():
+        if src not in out.columns:
+            raise ValueError(f"rename source {src!r} missing")
+        if dst in out.columns:
+            raise ValueError(f"rename target {dst!r} already exists")
         out = out.withColumnRenamed(src, dst)
-        if src in out.columns:
-            raise ValueError(f"rename source {src!r} still present")
     return out
 
 
@@ -171,6 +176,7 @@ def convert_fields(
     df: DataFrame,
     conversions: Sequence[Mapping[str, str]],
     error_col: str = "_convert_error",
+    gate: Column | None = None,
 ) -> DataFrame:
     """convert processor: [{"from": col, "to": out_col?, "type": t}, ...].
 
@@ -178,7 +184,12 @@ def convert_fields(
     conversion try_casts — an unconvertible value yields NULL in the output
     field and appends the field name to ``error_col`` (array of failed
     field names, empty when clean); the row itself NEVER fails (ANSI-mode
-    safe). ``to`` defaults to in-place."""
+    safe). ``to`` defaults to in-place.
+
+    With a ``gate`` (the per-processor "when" condition), non-matching rows
+    are untouched: in-place targets keep the original value, new targets
+    are NULL, and the error array is empty — the processor simply did not
+    run for that row."""
     # Error flags evaluate BEFORE any in-place replacement (a conversion
     # with to == from overwrites its own source; tagging must see the
     # original value, not the casted NULL).
@@ -186,16 +197,28 @@ def convert_fields(
     for c in conversions:
         src, typ = c["from"], c["type"]
         casted = F.col(src).try_cast(typ)
-        errs.append(
-            F.when(F.col(src).isNotNull() & casted.isNull(), F.lit(src))
+        flag = F.when(
+            F.col(src).isNotNull() & casted.isNull(), F.lit(src)
         )
+        if gate is not None:
+            flag = F.when(gate, flag)
+        errs.append(flag)
     out = df.withColumn(
         error_col,
         F.array_compact(F.array(*errs)) if errs else F.array().cast("array<string>"),
     )
     for c in conversions:
         src, typ = c["from"], c["type"]
-        out = out.withColumn(c.get("to", src), F.col(src).try_cast(typ))
+        dst = c.get("to", src)
+        casted = F.col(src).try_cast(typ)
+        if gate is not None:
+            old = (
+                F.col(dst)
+                if dst in out.columns
+                else F.lit(None).cast(typ)
+            )
+            casted = F.when(gate, casted).otherwise(old)
+        out = out.withColumn(dst, casted)
     return out
 
 
@@ -215,17 +238,31 @@ def decode_json_fields(
     struct column.
 
     Error semantics (add_error_key:true): ``error_col`` is TRUE iff the
-    field is non-null but not valid JSON. Detection rides
-    ``from_json(..., map<string,string>)`` — Spark returns NULL for a
-    malformed document under that schema (while the typed struct parse
-    returns a null-filled struct), so invalidity is distinguishable from
-    merely-missing keys without any UDF. Both parses sit in the same
-    codegen stage; Catalyst dedups the common child."""
+    field is non-null but not valid JSON — ANY valid JSON value (object,
+    array, scalar) counts as valid, exactly Beats' strict Go decoder.
+    Spark's JSON paths (from_json, try_parse_json) are all PREFIX-LENIENT:
+    they accept a valid value followed by trailing garbage, and the
+    variant probe even accepts a bare leading scalar (so '"k": 1}' — an
+    object with its '{' cut off — would read as the string '"k"'). The
+    probe therefore pairs ``try_parse_json`` with a structural anchor
+    guard: a trimmed object must end '}', an array must end ']', and a
+    scalar must BE a complete number/string/true/false/null. (A
+    balanced-looking double-terminated doc like '{"a":1}}' can still slip
+    the guard — the one residual leniency, unreachable by truncation-style
+    corruption.) All checks are codegen Columns in one stage, no UDF;
+    invalidity stays distinguishable from merely-missing keys."""
     col = F.col(field)
+    t = F.trim(col)
+    shape = (
+        (t.startswith("{") & t.endswith("}"))
+        | (t.startswith("[") & t.endswith("]"))
+        | t.rlike(r'^"(?:[^"\\]|\\.)*"$')
+        | t.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        | t.isin("true", "false", "null")
+    )
     return df.withColumn(target, F.from_json(col, schema)).withColumn(
         error_col,
-        col.isNotNull()
-        & F.from_json(col, "map<string,string>").isNull(),
+        col.isNotNull() & ~(F.try_parse_json(col).isNotNull() & shape),
     )
 
 
@@ -454,11 +491,16 @@ def compile_chain(
     """Compile an ordered Beats processor list into a DataFrame plan.
 
     Each entry is {"<type>": <config>} with an optional "when" condition
-    (the Beats per-processor gate): a gated projection processor applies
-    per-row via CASE; a gated drop_event filters only matching rows.
-    Projection processors fold into consecutive selects that Catalyst
-    collapses into ONE Project (CollapseProject) — chain length does not
-    multiply scan cost (plan-pinned in tests)."""
+    (the Beats per-processor gate): a gated VALUE processor (add_fields,
+    convert, truncate_fields, urldecode, fingerprint) applies per-row via
+    CASE — non-matching rows keep their original value (or NULL for a new
+    column); a gated drop_event filters only matching rows. COLUMN-SHAPE
+    processors (rename, copy_fields, drop_fields, include_fields) cannot
+    vary per row on a columnar engine, so a "when" on one is a compile-time
+    ValueError rather than a silently ignored gate. Projection processors
+    fold into consecutive selects that Catalyst collapses into ONE Project
+    (CollapseProject) — chain length does not multiply scan cost
+    (plan-pinned in tests)."""
     out = df
     for proc in processors:
         body = dict(proc)
@@ -482,16 +524,23 @@ def compile_chain(
                     old = F.col(name) if name in out.columns else F.lit(None)
                     col = F.when(gate, col).otherwise(old)
                 out = out.withColumn(name, col)
-        elif kind == "rename":
-            out = rename_fields(out, cfg)
-        elif kind == "copy_fields":
-            out = copy_fields(out, cfg)
-        elif kind == "drop_fields":
-            out = drop_fields(out, cfg)
-        elif kind == "include_fields":
-            out = include_fields(out, cfg)
+        elif kind in ("rename", "copy_fields", "drop_fields", "include_fields"):
+            if gate is not None:
+                raise ValueError(
+                    f"processor {kind!r} changes column shape and cannot "
+                    "be row-gated with 'when' — gate upstream with "
+                    "drop_event or split the stream"
+                )
+            if kind == "rename":
+                out = rename_fields(out, cfg)
+            elif kind == "copy_fields":
+                out = copy_fields(out, cfg)
+            elif kind == "drop_fields":
+                out = drop_fields(out, cfg)
+            else:
+                out = include_fields(out, cfg)
         elif kind == "convert":
-            out = convert_fields(out, cfg)
+            out = convert_fields(out, cfg, gate=gate)
         elif kind == "truncate_fields":
             for name in cfg["fields"]:
                 col = truncate_utf8(name, cfg["max_bytes"])
@@ -505,12 +554,18 @@ def compile_chain(
                     col = F.when(gate, col).otherwise(F.col(name))
                 out = out.withColumn(name, col)
         elif kind == "fingerprint":
-            out = out.withColumn(
-                cfg.get("target_field", "fingerprint"),
-                fingerprint(
-                    cfg["fields"], cfg["fields"], cfg.get("method", "sha256")
-                ),
+            target = cfg.get("target_field", "fingerprint")
+            fp = fingerprint(
+                cfg["fields"], cfg["fields"], cfg.get("method", "sha256")
             )
+            if gate is not None:
+                old = (
+                    F.col(target)
+                    if target in out.columns
+                    else F.lit(None).cast("string")
+                )
+                fp = F.when(gate, fp).otherwise(old)
+            out = out.withColumn(target, fp)
         else:
             raise ValueError(f"unsupported processor type: {kind!r}")
     return out

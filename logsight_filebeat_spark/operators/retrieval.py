@@ -87,11 +87,16 @@ def phrase_match(
     "table table" stay exact). No per-term self-join chain, no window,
     no Python."""
     qsplit = F.split(F.lower(F.col("phrase")), TOKEN_SPLIT_RE)
+    # qlen counts NON-EMPTY tokens: edge whitespace makes split emit ''
+    # entries that the filter below drops — sizing on the raw split would
+    # demand more votes than any anchor can collect, silently matching
+    # nothing. (\s+ splitting yields empties only at the edges, so the
+    # surviving offsets keep one uniform shift and anchors stay aligned.)
     q = (
         phrases.select(
             "query_id",
             F.posexplode(qsplit).alias("offset", "qtok"),
-            F.size(qsplit).alias("qlen"),
+            F.size(F.filter(qsplit, lambda x: x != "")).alias("qlen"),
         )
         .filter(F.col("qtok") != "")
     )

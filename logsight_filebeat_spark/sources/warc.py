@@ -58,7 +58,12 @@ def warc_records(spark: SparkSession, path: str) -> DataFrame:
     files = read_warc_files(spark, path)
     chunks = files.select(
         "file",
-        F.posexplode(F.split("content", F.lit(WARC_MAGIC), -1)).alias(
+        # \Q...\E quotes the magic for the regex engine — the '.' in
+        # "WARC/1.0" must not match arbitrary bytes, or payloads containing
+        # near-magic text (e.g. "WARC/1x0\r\n") would falsely sever records
+        F.posexplode(
+            F.split("content", F.lit("\\Q" + WARC_MAGIC + "\\E"), -1)
+        ).alias(
             "pos", "chunk"
         ),
     ).filter(F.col("pos") >= 1)  # chunk 0 is the (empty) pre-magic preamble

@@ -78,24 +78,44 @@ def _syslog(spark, line: str):
 
 def test_syslog_valid_frame(spark):
     s = _syslog(
-        spark, "<165>1 2024-03-01T10:00:00Z web01 app 77 m1 hello spaced msg"
+        spark, "<165>1 2024-03-01T10:00:00Z web01 app 77 m1 - hello spaced msg"
     )
     assert s is not None
     assert s.facility == 20 and s.severity == 5
     assert s.severity_name == "notice" and s.facility_name == "local4"
     assert s.host == "web01" and s.app == "app"
+    assert s.sd is None                    # NILVALUE SD ⇒ NULL sd
     assert s.msg == "hello spaced msg"     # MSG keeps its spaces
 
 
+def test_syslog_structured_data(spark):
+    # one element whose PARAM-VALUE contains spaces
+    s = _syslog(spark, '<34>1 t h a p m [ex@32473 k="v w x"] tail msg')
+    assert s.sd == '[ex@32473 k="v w x"]' and s.msg == "tail msg"
+    # two elements, escaped ']' inside a PARAM-VALUE
+    s = _syslog(spark, '<34>1 t h a p m [a@1 x="p\\]q"][b@2 y="z"] m2')
+    assert s.sd == '[a@1 x="p\\]q"][b@2 y="z"]' and s.msg == "m2"
+    # SD with no MSG at all is a valid frame (MSG is optional)
+    s = _syslog(spark, '<34>1 t h a p m [only@1 k="v"]')
+    assert s.sd == '[only@1 k="v"]' and s.msg is None
+    # NILVALUE with no MSG
+    s = _syslog(spark, "<34>1 t h a p m -")
+    assert s is not None and s.sd is None and s.msg is None
+    # a 7th field that is neither NILVALUE nor an element chain ⇒ malformed
+    assert _syslog(spark, "<34>1 t h a p m hello world") is None
+    # unterminated element ⇒ malformed
+    assert _syslog(spark, '<34>1 t h a p m [broken k="v" msg') is None
+
+
 def test_syslog_pri_boundaries(spark):
-    assert _syslog(spark, "<0>1 t h a p m x").severity == 0
-    assert _syslog(spark, "<191>1 t h a p m x").facility == 23
+    assert _syslog(spark, "<0>1 t h a p m - x").severity == 0
+    assert _syslog(spark, "<191>1 t h a p m - x").facility == 23
     # out of range / malformed ⇒ NULL struct, never half-populated
-    assert _syslog(spark, "<192>1 t h a p m x") is None
-    assert _syslog(spark, "<-1>1 t h a p m x") is None
-    assert _syslog(spark, "<07>1 t h a p m x") is None      # leading zero
-    assert _syslog(spark, "165>1 t h a p m x") is None      # no bracket
-    assert _syslog(spark, "<165>2 t h a p m x") is None     # wrong version
+    assert _syslog(spark, "<192>1 t h a p m - x") is None
+    assert _syslog(spark, "<-1>1 t h a p m - x") is None
+    assert _syslog(spark, "<07>1 t h a p m - x") is None    # leading zero
+    assert _syslog(spark, "165>1 t h a p m - x") is None    # no bracket
+    assert _syslog(spark, "<165>2 t h a p m - x") is None   # wrong version
     assert _syslog(spark, "<165>1 t h a p") is None         # short header
     assert _syslog(spark, "") is None
 
