@@ -379,6 +379,7 @@ def resolve_chains(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 5,
+    converge: bool = True,
 ) -> DataFrame:
     """Pointer-jumping resolution of functional link chains (canonical-URL
     / redirect chains: every src maps to at most ONE dst): returns
@@ -399,7 +400,19 @@ def resolve_chains(
     upstream edge list (at crawl scale, 2^n_iter re-parses of raw html).
     With the persist, every round is exactly one scan of the cached state
     plus one equi-join: O(n_iter) work total, plan size linear in
-    n_iter."""
+    n_iter.
+
+    ``converge`` (default) adds a per-round full-pass aggregate over the
+    just-persisted state: if NO pointer jumped this round, every root is
+    already a chain terminal and the remaining rounds are skipped. Real
+    redirect/canonical chains are ≤3 hops, so a generous ``n_iter`` costs
+    log2(actual chain length)+1 rounds, not n_iter — at crawl scale each
+    skipped round is a full shuffle of the 10^12-row state. The aggregate
+    doubles as the materialization barrier that makes it safe to
+    unpersist the superseded round (pinned state stays O(1) rounds, not
+    O(n_iter)); with ``converge=False`` nothing materializes until the
+    caller's action, so every round handle stays pinned for the caller's
+    ``release_persisted``."""
     cur = track_persist(
         edges.select(
             F.col(src).alias("src"),
@@ -417,12 +430,24 @@ def resolve_chains(
             F.col("root").alias("_nr"),
             F.col("hops").alias("_nh"),
         ).hint("SHUFFLE_HASH")
-        cur = track_persist(
+        new = track_persist(
             cur.join(nxt, cur["root"] == nxt["_ns"], "left")
             .select(
                 "src",
                 F.coalesce("_nr", "root").alias("root"),
                 (F.col("hops") + F.coalesce("_nh", F.lit(0))).alias("hops"),
+                F.col("_nr").isNotNull().alias("_moved"),
             )
         )
-    return cur
+        prev, cur = cur, new
+        if converge:
+            # max(_moved) scans EVERY partition, so the new state is fully
+            # cache-resident before prev unpins — a limit-style probe would
+            # materialize partially and the unpersist would reopen the
+            # recompute-through-dead-lineage hole this function exists to
+            # close
+            moved = new.agg(F.max("_moved").alias("m")).first()["m"]
+            prev.unpersist()
+            if not moved:
+                break
+    return cur.drop("_moved")
