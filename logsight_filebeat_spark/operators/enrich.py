@@ -344,3 +344,96 @@ def prefix_policy(
         F.coalesce(F.col("_m.allow") == 1, F.lit(default_allow)).alias("allowed"),
         F.col("_m.prefix").alias("rule_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IPv4 / CIDR classification (the Beats `network` condition surface)
+# ---------------------------------------------------------------------------
+
+# named ranges the libbeat `network` condition accepts (conditions.go in the
+# beats framework dep, /root/reference/go.mod:139); IPv4 subset — an IPv6 or
+# otherwise unparseable address simply never matches (condition-false, the
+# same NULL-is-false contract as every other condition leaf)
+NAMED_NETWORKS: dict[str, list[str]] = {
+    "loopback": ["127.0.0.0/8"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+    "multicast": ["224.0.0.0/4"],
+    "link_local_unicast": ["169.254.0.0/16"],
+    "unspecified": ["0.0.0.0/32"],
+    "broadcast": ["255.255.255.255/32"],
+}
+
+
+def ipv4_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 → uint32 as bigint; NULL for anything that is not
+    four in-range decimal octets (IPv6, hostnames, junk). Pure Column
+    arithmetic — split + four casts + three multiplies — so it codegens
+    into the scan stage; at 100 TB the classification is a narrow map, no
+    shuffle, no Python. Leading zeros are accepted ('010' reads as 10),
+    matching lenient log-source formatting rather than strict RFC 791
+    text representation."""
+    c = F.col(col) if isinstance(col, str) else col
+    shape = c.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    parts = F.split(c, r"\.")
+    o = [F.get(parts, i).cast("bigint") for i in range(4)]
+    in_range = (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
+    val = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+    return F.when(shape & in_range, val)
+
+
+def _parse_cidr(spec: str) -> tuple[int, int]:
+    """'a.b.c.d/k' (or bare 'a.b.c.d' = /32) → (base & mask, mask) ints.
+    Raises at COMPILE time on a malformed spec — config errors must fail
+    on the driver before any Spark job, never per-row."""
+    base, _, klen = spec.partition("/")
+    k = int(klen) if klen else 32
+    if not 0 <= k <= 32:
+        raise ValueError(f"CIDR prefix length out of range: {spec!r}")
+    octets = base.split(".")
+    if len(octets) != 4 or not all(
+        o.isdigit() and 0 <= int(o) <= 255 for o in octets
+    ):
+        raise ValueError(f"malformed IPv4 CIDR base: {spec!r}")
+    b = 0
+    for o in octets:
+        b = b * 256 + int(o)
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - k)) - 1)
+    return b & mask, mask
+
+
+def network_match(col: Column | str, spec: str | list[str]) -> Column:
+    """TRUE iff the IPv4 string is inside ANY of the given networks —
+    each a CIDR ('10.42.0.0/15'), a bare address, or a libbeat range name
+    from :data:`NAMED_NETWORKS` ('private', 'loopback', ...) plus
+    'public' (= parseable and in none of the named ranges). Two-valued:
+    an unparseable address is FALSE, never NULL, so the condition can sit
+    directly in a filter and still push to the scan. All specs expand at
+    compile time into mask-compare leaves OR'd together — one codegen'd
+    expression, zero joins."""
+    ip = ipv4_to_long(col)
+    specs = [spec] if isinstance(spec, str) else list(spec)
+    if not specs:
+        raise ValueError("network_match needs at least one network spec")
+    leaves: list[Column] = []
+    for s in specs:
+        if s == "public":
+            named = [c for v in NAMED_NETWORKS.values() for c in v]
+            inner = [
+                (ip.bitwiseAND(F.lit(m)) == F.lit(b))
+                for b, m in (_parse_cidr(c) for c in named)
+            ]
+            pub = ip.isNotNull()
+            for cond in inner:
+                pub = pub & ~cond
+            leaves.append(pub)
+        elif s in NAMED_NETWORKS:
+            for c in NAMED_NETWORKS[s]:
+                b, m = _parse_cidr(c)
+                leaves.append(ip.bitwiseAND(F.lit(m)) == F.lit(b))
+        else:
+            b, m = _parse_cidr(s)
+            leaves.append(ip.bitwiseAND(F.lit(m)) == F.lit(b))
+    out = leaves[0]
+    for leaf in leaves[1:]:
+        out = out | leaf
+    return F.coalesce(out, F.lit(False))

@@ -58,6 +58,8 @@ def compile_condition(cond: Mapping[str, Any]) -> Column:
       contains: {field: substring, ...}  — substring match, AND across pairs
       regexp: {field: pattern, ...}      — RE2-style match, AND across pairs
       range: {field: {gt/gte/lt/lte: num, ...}, ...}
+      network: {field: cidr|name|[...], ...} — IPv4 CIDR / named-range
+        membership (enrich.py::network_match); list = any-of
       has_fields: [field, ...]           — all present AND non-null
       and / or: [cond, ...]              — combinators
       not: cond
@@ -102,6 +104,11 @@ def compile_condition(cond: Mapping[str, Any]) -> Column:
     elif kind == "regexp":
         for f, v in sorted(body.items()):
             leaves.append(F.col(f).isNotNull() & F.col(f).rlike(v))
+    elif kind == "network":
+        from logsight_filebeat_spark.operators.enrich import network_match
+
+        for f, spec in sorted(body.items()):
+            leaves.append(network_match(F.col(f), spec))
     elif kind == "range":
         for f, ops in sorted(body.items()):
             for op, v in sorted(ops.items()):
@@ -481,6 +488,154 @@ def detect_mime_type(bin_col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# replace / extract_array / decode_base64_field / timestamp / community_id
+# ---------------------------------------------------------------------------
+
+
+def replace_fields(
+    df: DataFrame, rules: Sequence[Mapping[str, str]]
+) -> DataFrame:
+    """replace processor: [{"field": f, "pattern": re, "replacement": s}].
+    Regex substitution over string fields (RE2-compatible patterns, Java
+    regex execution — same dialect contract as the grok path). A missing
+    field fails at COMPILE time (Beats fail_on_error default), and a
+    malformed pattern fails at compile time too (re.compile probe) — never
+    per-row. NULL field values stay NULL."""
+    import re as _re
+
+    out = df
+    for r in rules:
+        fld = r["field"]
+        if fld not in out.columns:
+            raise ValueError(f"replace field {fld!r} missing")
+        try:
+            _re.compile(r["pattern"])
+        except _re.error as e:
+            raise ValueError(
+                f"replace pattern {r['pattern']!r} invalid: {e}"
+            ) from None
+        out = out.withColumn(
+            fld,
+            F.regexp_replace(F.col(fld), r["pattern"], r["replacement"]),
+        )
+    return out
+
+
+def extract_array(
+    df: DataFrame, field: str, mapping: Mapping[int, str]
+) -> DataFrame:
+    """extract_array processor: project array elements into named fields —
+    {index: target_col}, 0-based like the Beats config. An out-of-range
+    index yields NULL in the target (the row survives; Beats' fail_on_error
+    aborts the whole event pipeline on one short array, which at corpus
+    scale turns a single ragged row into a dead batch — segregate on
+    NULLs downstream instead, the O13 failure-split pattern)."""
+    out = df
+    for idx, target in sorted(mapping.items()):
+        out = out.withColumn(target, F.get(F.col(field), int(idx)))
+    return out
+
+
+def decode_base64_field(
+    df: DataFrame,
+    field: str,
+    target: str,
+    error_col: str = "_b64_error",
+) -> DataFrame:
+    """decode_base64_field processor: strict-validate then decode.
+
+    Spark's ``unbase64`` is lenient — it skips junk characters and pads
+    silently, so garbage input yields garbage bytes instead of an error.
+    The processor therefore probes strict RFC 4648 shape first (charset,
+    '=' only as 1-2 char suffix, length ≡ 0 mod 4): probe-fail ⇒ NULL
+    target + error flag, row never fails (add_error_key semantics, same
+    contract as decode_json_fields). Decoded bytes read as UTF-8."""
+    col = F.col(field)
+    shape = col.rlike(
+        r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+    ) & (F.length(col) % 4 == 0)
+    decoded = F.when(shape, F.decode(F.unbase64(col), "UTF-8"))
+    return df.withColumn(target, decoded).withColumn(
+        error_col, col.isNotNull() & ~shape
+    )
+
+
+def timestamp_fields(
+    df: DataFrame,
+    field: str,
+    layouts: Sequence[str],
+    target: str = "event_ts",
+    error_col: str | None = None,
+) -> DataFrame:
+    """timestamp processor: try each layout in order, first parse wins —
+    ``coalesce(try_to_timestamp(f, l1), try_to_timestamp(f, l2), ...)``,
+    exactly Beats' first-successful-layout contract but as ONE codegen'd
+    expression (the JVM evaluates layouts left-to-right and
+    short-circuits). No layout matching ⇒ NULL target (+ optional error
+    flag), never a task failure — ANSI-safe via the try_ form."""
+    if not layouts:
+        raise ValueError("timestamp processor needs at least one layout")
+    col = F.col(field)
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(col, F.lit(layout)) for layout in layouts]
+    )
+    out = df.withColumn(target, parsed)
+    if error_col:
+        out = out.withColumn(error_col, col.isNotNull() & parsed.isNull())
+    return out
+
+
+def community_id(
+    saddr: Column | str,
+    sport: Column | str,
+    daddr: Column | str,
+    dport: Column | str,
+    proto: Column | str,
+    seed: int = 0,
+) -> Column:
+    """community_id processor (v1, the Corelight/Zeek flow-hash spec): a
+    direction-independent flow identifier —
+
+        "1:" + base64(sha1(seed_be16 ‖ ip_lo ‖ ip_hi ‖ proto ‖ 0x00
+                           ‖ port_lo_be16 ‖ port_hi_be16))
+
+    with the (addr, port) endpoint pair ordered so both directions of a
+    flow hash identically. IPv4 TCP/UDP/SCTP form; endpoints pack via hex
+    strings → ONE unhex, sha1 and base64 are JVM built-ins, so the whole
+    id is a codegen'd narrow map — pytest pins it against an independent
+    hashlib+struct reference implementation of the published spec. An
+    unparseable address yields NULL."""
+    from logsight_filebeat_spark.operators.enrich import ipv4_to_long
+
+    sa, da = ipv4_to_long(saddr), ipv4_to_long(daddr)
+    sp = (F.col(sport) if isinstance(sport, str) else sport).cast("bigint")
+    dp = (F.col(dport) if isinstance(dport, str) else dport).cast("bigint")
+    pr = (F.col(proto) if isinstance(proto, str) else proto).cast("bigint")
+    fwd = (sa < da) | ((sa == da) & (sp <= dp))
+    a_lo, a_hi = F.when(fwd, sa).otherwise(da), F.when(fwd, da).otherwise(sa)
+    p_lo, p_hi = F.when(fwd, sp).otherwise(dp), F.when(fwd, dp).otherwise(sp)
+
+    def hx(col: Column, width: int) -> Column:
+        return F.lpad(F.lower(F.hex(col)), width, "0")
+
+    payload = F.unhex(
+        F.concat(
+            F.lit(format(seed, "04x")),
+            hx(a_lo, 8),
+            hx(a_hi, 8),
+            hx(pr, 2),
+            F.lit("00"),
+            hx(p_lo, 4),
+            hx(p_hi, 4),
+        )
+    )
+    return F.when(
+        sa.isNotNull() & da.isNotNull(),
+        F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload)))),
+    )
+
+
+# ---------------------------------------------------------------------------
 # chain compiler
 # ---------------------------------------------------------------------------
 
@@ -567,5 +722,48 @@ def compile_chain(
                 fp = F.when(gate, fp).otherwise(old)
             out = out.withColumn(target, fp)
         else:
+            if kind in (
+                "replace",
+                "extract_array",
+                "decode_base64_field",
+                "timestamp",
+                "community_id",
+            ):
+                if gate is not None:
+                    raise ValueError(
+                        f"processor {kind!r} does not support a per-row "
+                        "'when' gate — gate upstream with drop_event or "
+                        "split the stream"
+                    )
+                if kind == "replace":
+                    out = replace_fields(out, cfg)
+                elif kind == "extract_array":
+                    out = extract_array(out, cfg["field"], cfg["mapping"])
+                elif kind == "decode_base64_field":
+                    out = decode_base64_field(
+                        out,
+                        cfg["field"],
+                        cfg.get("target", cfg["field"] + "_decoded"),
+                    )
+                elif kind == "timestamp":
+                    out = timestamp_fields(
+                        out,
+                        cfg["field"],
+                        cfg["layouts"],
+                        cfg.get("target_field", "event_ts"),
+                    )
+                else:
+                    out = out.withColumn(
+                        cfg.get("target_field", "community_id"),
+                        community_id(
+                            cfg["source_ip"],
+                            cfg["source_port"],
+                            cfg["destination_ip"],
+                            cfg["destination_port"],
+                            cfg["transport"],
+                            seed=int(cfg.get("seed", 0)),
+                        ),
+                    )
+                continue
             raise ValueError(f"unsupported processor type: {kind!r}")
     return out

@@ -261,3 +261,222 @@ def test_chain_collapses_to_single_project(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # CollapseProject: the whole chain is ONE Project over the relation
     assert plan.count("Project") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# network condition / CIDR classification
+# ---------------------------------------------------------------------------
+
+def test_network_condition(spark):
+    from logsight_filebeat_spark.operators.enrich import network_match
+    from logsight_filebeat_spark.operators.processors import compile_condition
+
+    rows = [
+        (1, "10.1.2.3"),          # private
+        (2, "172.16.0.1"),        # private (12-bit mask lower edge)
+        (3, "172.32.0.1"),        # NOT private (past 172.31)
+        (4, "192.168.255.1"),     # private
+        (5, "127.0.0.1"),         # loopback
+        (6, "8.8.8.8"),           # public
+        (7, "224.0.0.251"),       # multicast
+        (8, "169.254.10.10"),     # link-local
+        (9, "256.1.1.1"),         # invalid octet
+        (10, "not-an-ip"),        # junk
+        (11, None),               # NULL
+        (12, "10.43.200.7"),      # inside 10.42.0.0/15
+    ]
+    df = spark.createDataFrame(rows, "id int, ip string")
+    got = {
+        r.id: (r.priv, r.pub, r.cidr)
+        for r in df.select(
+            "id",
+            network_match("ip", "private").alias("priv"),
+            network_match("ip", "public").alias("pub"),
+            network_match("ip", "10.42.0.0/15").alias("cidr"),
+        ).collect()
+    }
+    assert got[1] == (True, False, False)
+    assert got[2] == (True, False, False)
+    assert got[3] == (False, True, False)
+    assert got[4] == (True, False, False)
+    assert got[5] == (False, False, False)
+    assert got[6] == (False, True, False)
+    assert got[7] == (False, False, False)
+    assert got[8] == (False, False, False)
+    # invalid / junk / NULL: condition-FALSE, never NULL
+    assert got[9] == (False, False, False)
+    assert got[10] == (False, False, False)
+    assert got[11] == (False, False, False)
+    assert got[12] == (True, False, True)
+
+    # list = any-of; compile_condition wiring
+    cond = compile_condition({"network": {"ip": ["loopback", "8.8.8.0/24"]}})
+    kept = sorted(r.id for r in df.filter(cond).collect())
+    assert kept == [5, 6]
+
+    # malformed CIDR fails at compile time
+    with pytest.raises(ValueError):
+        network_match("ip", "10.0.0.0/33")
+    with pytest.raises(ValueError):
+        network_match("ip", "10.0.0/8")
+
+
+# ---------------------------------------------------------------------------
+# replace / extract_array / decode_base64_field / timestamp
+# ---------------------------------------------------------------------------
+
+def test_replace_fields(spark):
+    from logsight_filebeat_spark.operators.processors import replace_fields
+
+    df = spark.createDataFrame(
+        [(1, "user=alice id=42"), (2, None)], "id int, line string"
+    )
+    out = replace_fields(
+        df, [{"field": "line", "pattern": r"id=\d+", "replacement": "id=<n>"}]
+    )
+    rows = {r.id: r.line for r in out.collect()}
+    assert rows[1] == "user=alice id=<n>"
+    assert rows[2] is None
+    with pytest.raises(ValueError):
+        replace_fields(df, [{"field": "nope", "pattern": "x", "replacement": ""}])
+    with pytest.raises(ValueError):
+        replace_fields(df, [{"field": "line", "pattern": "(", "replacement": ""}])
+
+
+def test_extract_array(spark):
+    from logsight_filebeat_spark.operators.processors import extract_array
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["only"])], "id int, arr array<string>"
+    )
+    out = extract_array(df, "arr", {0: "first", 2: "third"})
+    rows = {r.id: (r.first, r.third) for r in out.collect()}
+    assert rows[1] == ("a", "c")
+    assert rows[2] == ("only", None)  # out-of-range ⇒ NULL, row survives
+
+
+def test_decode_base64_field(spark):
+    import base64
+
+    from logsight_filebeat_spark.operators.processors import decode_base64_field
+
+    good = base64.b64encode(b"hello world").decode()
+    df = spark.createDataFrame(
+        [(1, good), (2, "!!!not-base64"), (3, "QUJD"), (4, None), (5, "QQ=")],
+        "id int, b string",
+    )
+    out = decode_base64_field(df, "b", "txt")
+    rows = {r.id: (r.txt, r._b64_error) for r in out.collect()}
+    assert rows[1] == ("hello world", False)
+    assert rows[2] == (None, True)
+    assert rows[3] == ("ABC", False)
+    assert rows[4] == (None, False)   # missing field: no error, no value
+    assert rows[5] == (None, True)    # bad padding length
+    
+
+def test_timestamp_fields(spark):
+    from logsight_filebeat_spark.operators.processors import timestamp_fields
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-03-01 10:00:00"),
+            (2, "01/Mar/2024:10:00:00"),
+            (3, "garbage"),
+        ],
+        "id int, raw string",
+    )
+    out = timestamp_fields(
+        df,
+        "raw",
+        ["yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy:HH:mm:ss"],
+        target="ts",
+        error_col="bad",
+    )
+    rows = {r.id: (r.ts, r.bad) for r in out.collect()}
+    assert rows[1][0] is not None and rows[1][1] is False
+    assert rows[2][0] is not None and rows[2][1] is False
+    assert rows[1][0].hour == 10 and rows[2][0].day == 1
+    assert rows[3] == (None, True)
+
+
+# ---------------------------------------------------------------------------
+# community_id — pinned against an independent stdlib reference
+# ---------------------------------------------------------------------------
+
+def _cid_ref(saddr, sport, daddr, dport, proto, seed=0):
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    sa, da = socket.inet_aton(saddr), socket.inet_aton(daddr)
+    if (sa, sport) > (da, dport):
+        sa, da, sport, dport = da, sa, dport, sport
+    data = struct.pack("!H", seed) + sa + da + struct.pack(
+        "!BBHH", proto, 0, sport, dport
+    )
+    return "1:" + base64.b64encode(hashlib.sha1(data).digest()).decode()
+
+
+def test_community_id(spark):
+    from logsight_filebeat_spark.operators.processors import community_id
+
+    flows = [
+        ("128.232.110.120", 34855, "66.35.250.204", 80, 6),
+        ("192.168.1.52", 54585, "8.8.8.8", 53, 17),
+        ("10.0.0.1", 80, "10.0.0.2", 80, 6),      # equal ports
+        ("10.0.0.5", 1, "10.0.0.5", 2, 6),        # equal addrs
+        ("1.2.3.4", 1234, "5.6.7.8", 5678, 132),  # sctp
+    ]
+    rows = [(i, *f) for i, f in enumerate(flows)]
+    df = spark.createDataFrame(
+        rows, "id int, sa string, sp int, da string, dp int, pr int"
+    )
+    out = df.select(
+        "id", community_id("sa", "sp", "da", "dp", "pr").alias("cid")
+    )
+    got = {r.id: r.cid for r in out.collect()}
+    # the published corelight/community-id-spec TCP vector
+    assert got[0] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    for i, f in enumerate(flows):
+        assert got[i] == _cid_ref(*f), f
+        # direction independence
+        rev = _cid_ref(f[2], f[3], f[0], f[1], f[4])
+        assert got[i] == rev
+
+    # seed participates
+    out2 = df.select(community_id("sa", "sp", "da", "dp", "pr", seed=1).alias("c"))
+    assert out2.first().c == _cid_ref(*flows[0], seed=1)
+
+    # unparseable address ⇒ NULL
+    bad = spark.createDataFrame(
+        [("nope", 1, "10.0.0.1", 2, 6)], "sa string, sp int, da string, dp int, pr int"
+    )
+    assert bad.select(community_id("sa", "sp", "da", "dp", "pr").alias("c")).first().c is None
+
+
+def test_chain_new_processors(spark):
+    from logsight_filebeat_spark.operators.processors import compile_chain
+
+    df = spark.createDataFrame(
+        [(1, "a,b,c", "aGk=", "2024-03-01 10:00:00")],
+        "id int, csvish string, b64 string, raw_ts string",
+    )
+    out = compile_chain(
+        df,
+        [
+            {"add_fields": {"arr_src": "x"}},
+            {"replace": [{"field": "csvish", "pattern": ",", "replacement": "|"}]},
+            {"decode_base64_field": {"field": "b64", "target": "msg"}},
+            {"timestamp": {"field": "raw_ts", "layouts": ["yyyy-MM-dd HH:mm:ss"]}},
+        ],
+    )
+    r = out.first()
+    assert r.csvish == "a|b|c" and r.msg == "hi" and r.event_ts is not None
+    # per-row gates on shape-changing processors refuse at compile time
+    with pytest.raises(ValueError):
+        compile_chain(
+            df,
+            [{"replace": [{"field": "csvish", "pattern": "a", "replacement": "b"}],
+              "when": {"equals": {"id": 1}}}],
+        )
