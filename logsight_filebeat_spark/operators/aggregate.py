@@ -197,6 +197,110 @@ def asof_join(
     )
 
 
+def _hourly_counts(
+    df: DataFrame, key_col: str, ts_col: str, densify: bool
+) -> DataFrame:
+    """(key, hour, n) hourly counts; with ``densify`` the grid fills each
+    key's first→last observed hour with explicit n=0 rows so trailing
+    windows mean wall-clock hours (zero-rate hours included). Bounded by
+    keys × hours — dimension-sized, never data-sized."""
+    hourly = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if densify:
+        # the densify path consumes `hourly` TWICE (span + the grid join);
+        # persist so the corpus-wide count aggregate runs once, not twice
+        from logsight_filebeat_spark.functions.caching import track_persist
+
+        hourly = track_persist(hourly)
+        span = hourly.groupBy("key").agg(
+            F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+        )
+        grid = span.select(
+            "key",
+            F.explode(
+                F.sequence("_h0", "_h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+        hourly = grid.join(hourly, ["key", "hour"], "left").select(
+            "key", "hour", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    return hourly
+
+
+def ewma_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    trailing: int = 24,
+    burst_ratio: float = 3.0,
+    densify: bool = True,
+) -> DataFrame:
+    """Exponentially-weighted trailing baseline per (key, hour): the
+    recency-biased companion to :func:`rate_anomalies`' flat z-window —
+    an EWMA tracks a drifting rate (diurnal ramps, slow growth) where the
+    flat mean lags, so the burst ratio flags genuine spikes, not ramps.
+
+    baseline = Σ n_j·(1−α)^(age_j−1) / Σ (1−α)^(age_j−1) over the
+    trailing ``trailing`` grid hours (age in wall-clock hours ≥ 1);
+    ratio = n / baseline, flagged when ratio ≥ ``burst_ratio`` with a
+    non-trivial baseline. Weights derive from hour DIFFERENCES (not list
+    position), so the score is identical whether the grid is dense or a
+    sparse key skipped hours.
+
+    Engine-stable: the trailing history is collected as a bounded
+    (≤``trailing``) struct array SORTED BY HOUR, and both numerator and
+    denominator fold over it sequentially — every float op happens in the
+    same order in any engine at any parallelism; no float passes through
+    an order-dependent aggregate. The window is over the hourly table
+    (keys × hours), never the corpus."""
+    from pyspark.sql import Window
+
+    hourly = _hourly_counts(df, key_col, ts_col, densify)
+    w = Window.partitionBy("key").orderBy("hour").rowsBetween(-trailing, -1)
+    hist = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("hour").alias("h"), F.col("n").alias("v"))
+        ).over(w)
+    )
+    decay = F.lit(1.0 - alpha)
+    hour_s = F.unix_timestamp(F.col("hour"))
+
+    def age(x):
+        return ((hour_s - F.unix_timestamp(x["h"])) / 3600).cast("int")
+
+    scored = hourly.select(
+        "key",
+        "hour",
+        "n",
+        F.aggregate(
+            hist,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["v"].cast("double") * F.pow(decay, age(x) - 1),
+        ).alias("_num"),
+        F.aggregate(
+            hist,
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(decay, age(x) - 1),
+        ).alias("_den"),
+    )
+    baseline = F.when(F.col("_den") > 0, F.col("_num") / F.col("_den"))
+    ratio = F.when(baseline > 0, F.col("n") / baseline)
+    return scored.select(
+        "key",
+        "hour",
+        "n",
+        F.round(F.coalesce(baseline, F.lit(0.0)), 6).alias("ewma"),
+        F.round(F.coalesce(ratio, F.lit(0.0)), 6).alias("ratio"),
+        (
+            F.coalesce(ratio, F.lit(0.0)) >= burst_ratio
+        ).alias("is_burst"),
+    )
+
+
 def rate_anomalies(
     df: DataFrame,
     key_col: str,
@@ -234,28 +338,7 @@ def rate_anomalies(
     table, never over the data."""
     from pyspark.sql import Window
 
-    hourly = df.groupBy(
-        F.col(key_col).alias("key"),
-        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    if densify:
-        # the densify path consumes `hourly` TWICE (span + the grid join);
-        # persist so the corpus-wide count aggregate runs once, not twice
-        from logsight_filebeat_spark.functions.caching import track_persist
-
-        hourly = track_persist(hourly)
-        span = hourly.groupBy("key").agg(
-            F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
-        )
-        grid = span.select(
-            "key",
-            F.explode(
-                F.sequence("_h0", "_h1", F.expr("interval 1 hour"))
-            ).alias("hour"),
-        )
-        hourly = grid.join(hourly, ["key", "hour"], "left").select(
-            "key", "hour", F.coalesce("n", F.lit(0)).alias("n")
-        )
+    hourly = _hourly_counts(df, key_col, ts_col, densify)
     w = (
         Window.partitionBy("key")
         .orderBy("hour")

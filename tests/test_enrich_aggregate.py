@@ -363,3 +363,86 @@ def test_cohort_retention_triangle(spark):
     assert got == {
         ("05-01", 0): 2, ("05-01", 1): 1, ("05-01", 2): 1, ("05-02", 0): 1,
     }
+
+
+def test_ewma_scores_recency_weighting_and_burst(spark):
+    """EWMA weights recent hours over old ones (hour-difference based, so
+    dense grid or sparse key give identical scores), and flags n/ewma
+    bursts."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import ewma_scores
+
+    h = lambda hh: datetime(2024, 5, 1, hh, 30, 0)
+    # key 'a': steady 2/hour for 4 hours, then a 12-event burst at hour 4
+    rows = [("a", h(hh)) for hh in range(4) for _ in range(2)]
+    rows += [("a", h(4))] * 12
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {
+        r.hour.hour: r
+        for r in ewma_scores(df, "k", "ts", alpha=0.5, burst_ratio=3.0).collect()
+    }
+    # hour 4 baseline: weights (1-α)^(age-1) over n=2,2,2,2 → ewma = 2
+    assert abs(out[4].ewma - 2.0) < 1e-6
+    assert abs(out[4].ratio - 6.0) < 1e-6 and out[4].is_burst
+    assert not out[3].is_burst
+    # hour 0: empty history → ewma 0, ratio 0, no flag
+    assert out[0].ewma == 0.0 and out[0].ratio == 0.0 and not out[0].is_burst
+
+
+def test_ewma_scores_age_weighting_beats_position(spark):
+    """A recent spike outweighs an equal old spike: weights derive from
+    wall-clock age, so the baseline right after a spike is higher."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import ewma_scores
+
+    h = lambda hh: datetime(2024, 5, 1, hh, 0, 0)
+    rows = [("a", h(0))] * 10 + [("a", h(1))] + [("a", h(2))] + [("a", h(3))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r.hour.hour: r.ewma for r in ewma_scores(df, "k", "ts", alpha=0.5).collect()}
+    # hour 1 baseline (only the spike, age 1) > hour 3 baseline (spike aged 3)
+    assert out[1] > out[3] > 0
+
+
+def test_ip_range_lookup_matches_and_misses(spark):
+    from logsight_filebeat_spark.operators.enrich import ip_range_lookup
+
+    # blocks: 10.0.0.0–10.0.63.255 (US), 10.1.0.0–10.1.63.255 (DE); the
+    # second spans a /16 boundary on purpose: 10.2.255.0–10.3.0.255 (FR)
+    blocks = spark.createDataFrame(
+        [
+            (167772160, 167772160 + 16383, "US"),
+            (167837696, 167837696 + 16383, "DE"),
+            (167968512, 167969023, "FR"),
+        ],
+        "ip_start long, ip_end long, country string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "10.0.1.2"),      # US
+            (2, "10.1.63.255"),   # DE upper edge
+            (3, "10.1.64.0"),     # just past DE ⇒ miss
+            (4, "10.2.255.7"),    # FR, low /16 bucket
+            (5, "10.3.0.9"),      # FR, high /16 bucket
+            (6, "nope"),          # unparseable ⇒ miss, row kept
+        ],
+        "id int, ip string",
+    )
+    out = {r.id: r.country for r in ip_range_lookup(df, "ip", blocks).collect()}
+    assert out == {1: "US", 2: "DE", 3: None, 4: "FR", 5: "FR", 6: None}
+
+
+def test_ip_range_lookup_plans_as_hash_join_not_nested_loop(spark):
+    from logsight_filebeat_spark.operators.enrich import ip_range_lookup
+
+    blocks = spark.createDataFrame(
+        [(167772160, 167788543, "US")], "ip_start long, ip_end long, country string"
+    )
+    df = spark.createDataFrame([(1, "10.0.1.2")], "id int, ip string")
+    plan = (
+        ip_range_lookup(df, "ip", blocks)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
