@@ -64,7 +64,8 @@ _ROUND_CHANGED = [
     "op_when", "op_proc_chain", "op_decode_json", "op_decode_csv",
     "op_fingerprint", "op_truncate", "op_urldecode", "op_rate_limit",
     "op_mime", "op_network", "op_timestamp", "op_proc_chain2",
-    "ev_community_id", "ev_ewma", "en_geoip",
+    "ev_community_id", "ev_ewma", "en_geoip", "ev_transitions",
+    "ev_state_runs",
     # round 4: behavior/plan changes (persist+hint, densified baseline,
     # left-join model, PSL depth, salted default, index replay)
     "wg_canonical", "ev_anomaly", "tx_lm_score", "pg_etld1", "pg_host_cap",

@@ -373,6 +373,102 @@ def rate_anomalies(
     )
 
 
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key event→event transition matrix: (src, dst, cnt, prob) over
+    consecutive events within each key's timeline — the log-template
+    transition graph that workflow/anomaly mining builds on (the reference
+    vendor's published log-analytics approach models exactly this graph
+    over parsed templates; here it runs over any event column, e.g.
+    ``pg_log_templates`` output).
+
+    Scale shape: ONE shuffle — the lag window partitions by key (ordered
+    by (ts, tiebreak) so ties are deterministic); the (src, dst) hash
+    aggregate does its heavy lifting map-side, and the probability
+    normalization windows over the AGGREGATED matrix (≤ |event types|²
+    rows), never the data."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.lag(event_col).over(w).alias("src"),
+        F.col(event_col).alias("dst"),
+    ).where(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(total).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+def state_runs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Run-length encoding of each key's state timeline (gaps-and-islands):
+    consecutive identical states collapse into one row with the run's
+    bounds and length — flap/alert suppression (emit only on CHANGE) and
+    dwell-time analysis in one table. ``run_seq`` numbers a key's runs in
+    time order, so ``run_seq=1`` rows are first observations and each
+    later row IS a state change from its predecessor.
+
+    Scale shape: both windows (change flag, cumulative run id) and the
+    final (key, run) aggregate share ONE partitioning on key — a single
+    shuffle end-to-end; no per-key data leaves its partition after it."""
+    # both windows reference the ORIGINAL attributes — aliasing between
+    # them would hide the shared hashpartitioning(key) from Catalyst and
+    # buy a second data-sized Exchange (plan-pinned in tests)
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(state_col).over(w)
+    flagged = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        state_col,
+        F.when(
+            prev.isNull() | (prev != F.col(state_col)), F.lit(1)
+        ).otherwise(F.lit(0)).alias("_chg"),
+    )
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.select(
+        key_col,
+        ts_col,
+        state_col,
+        F.sum("_chg").over(w2).alias("run_seq"),
+    )
+    return runs.groupBy(key_col, "run_seq", state_col).agg(
+        F.count(F.lit(1)).alias("run_length"),
+        F.min(ts_col).alias("ts_start"),
+        F.max(ts_col).alias("ts_end"),
+    ).select(
+        F.col(key_col).alias("key"),
+        "run_seq",
+        F.col(state_col).alias("state"),
+        "run_length",
+        "ts_start",
+        "ts_end",
+    )
+
+
 def funnel_steps(
     df: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -446,3 +446,90 @@ def test_ip_range_lookup_plans_as_hash_join_not_nested_loop(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_transition_counts_matrix(spark):
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import transition_counts
+
+    t = lambda s: datetime(2024, 5, 1, 0, 0, s)
+    # user 1: view->click->view->click ; user 2: view->click (first events
+    # contribute no transition)
+    rows = [
+        (1, t(0), "view", 10), (1, t(1), "click", 11),
+        (1, t(2), "view", 12), (1, t(3), "click", 13),
+        (2, t(0), "view", 20), (2, t(1), "click", 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    out = {
+        (r.src, r.dst): (r.cnt, r.prob)
+        for r in transition_counts(df).collect()
+    }
+    assert out == {("view", "click"): (3, 1.0), ("click", "view"): (1, 1.0)}
+
+
+def test_transition_counts_probability_normalizes_per_source(spark):
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import transition_counts
+
+    t = lambda s: datetime(2024, 5, 1, 0, 0, s)
+    rows = [
+        (1, t(0), "a", 0), (1, t(1), "b", 1),
+        (1, t(2), "a", 2), (1, t(3), "c", 3),
+        (1, t(4), "a", 4), (1, t(5), "b", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    out = {
+        (r.src, r.dst): r.prob for r in transition_counts(df).collect()
+    }
+    assert abs(out[("a", "b")] - 2 / 3) < 1e-6
+    assert abs(out[("a", "c")] - 1 / 3) < 1e-6
+
+
+def test_state_runs_rle_and_change_points(spark):
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import state_runs
+
+    t = lambda s: datetime(2024, 5, 1, 0, 0, s)
+    rows = [
+        (1, t(0), "ok", 0), (1, t(1), "ok", 1), (1, t(2), "err", 2),
+        (1, t(3), "err", 3), (1, t(4), "ok", 4),
+        (2, t(0), "ok", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    out = sorted(
+        (r.key, r.run_seq, r.state, r.run_length)
+        for r in state_runs(df).collect()
+    )
+    assert out == [
+        (1, 1, "ok", 2), (1, 2, "err", 2), (1, 3, "ok", 1), (2, 1, "ok", 1),
+    ]
+    # run bounds cover the run's wall-clock span
+    r1 = [r for r in state_runs(df).collect() if r.key == 1 and r.run_seq == 1][0]
+    assert r1.ts_start == t(0) and r1.ts_end == t(1)
+
+
+def test_state_runs_single_data_shuffle(spark):
+    """Both windows and the final aggregate share one hashpartitioning on
+    the key: exactly ONE data-sized Exchange in the plan."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import state_runs
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 5, 1), "ok", 0)],
+        "user_id int, ts timestamp, event_type string, event_id int",
+    )
+    plan = (
+        state_runs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
