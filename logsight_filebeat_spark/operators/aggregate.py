@@ -373,6 +373,68 @@ def rate_anomalies(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Exact interpolated quantiles per key (type-7 / linear, the same
+    definition as Spark's ``percentile`` and DuckDB's ``quantile_cont``),
+    computed from the per-key VALUE HISTOGRAM instead of shuffling raw
+    values: ``percentile(col, q)`` buffers every value of a key on one
+    reducer — dead for a hot key at corpus scale — while the histogram
+    form shuffles one row per (key, distinct value) and every later step
+    runs over that bounded table.
+
+    For quantile q over n values the target rank is r = q·(n−1)
+    (0-indexed); the answer interpolates the values at ⌊r⌋ and ⌈r⌉, found
+    by cumulative-count containment — no sort of the data, no per-key
+    array. Returns one row per key: (key, n, <one column per qs name>)."""
+    hist = (
+        df.where(F.col(val_col).isNotNull())  # quantiles ignore NULLs
+        .groupBy(F.col(key_col).alias("key"), F.col(val_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("key").orderBy("v")
+    ranked = hist.select(
+        "key",
+        "v",
+        "cnt",
+        (F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("cnt")).alias("c_prev"),
+        F.sum("cnt").over(
+            Window.partitionBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    finals = ["key", "n"]
+    for name, q in qs.items():
+        r = F.lit(q) * (F.col("n") - 1).cast("double")
+        rf, rc = F.floor(r), F.ceil(r)
+        in_run = lambda pos: (pos >= F.col("c_prev")) & (
+            pos < F.col("c_prev") + F.col("cnt")
+        )
+        aggs.append(
+            F.max(F.when(in_run(rf), F.col("v"))).alias(f"_{name}_lo")
+        )
+        aggs.append(
+            F.max(F.when(in_run(rc), F.col("v"))).alias(f"_{name}_hi")
+        )
+        aggs.append(F.max(r - rf.cast("double")).alias(f"_{name}_f"))
+        finals.append(
+            (
+                F.col(f"_{name}_lo")
+                + F.col(f"_{name}_f")
+                * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo"))
+            ).alias(name)
+        )
+    return ranked.groupBy("key").agg(*aggs).select(*finals)
+
+
 def transition_counts(
     df: DataFrame,
     key_col: str = "user_id",

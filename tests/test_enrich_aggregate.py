@@ -533,3 +533,50 @@ def test_state_runs_single_data_shuffle(spark):
         state_runs(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_grouped_quantiles_matches_builtin_percentile(spark):
+    """The histogram form reproduces Spark's own exact percentile()
+    (type-7 interpolation) on data with heavy duplicate values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from logsight_filebeat_spark.operators.aggregate import grouped_quantiles
+
+    rng = random.Random(7)
+    rows = [
+        (k, round(rng.uniform(0, 100), 1))
+        for k in ("a", "b") for _ in range(500)
+    ] + [("c", 42.0)]  # single-value key: all quantiles = the value
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.key: r
+        for r in grouped_quantiles(
+            df, "k", "v", {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+        ).collect()
+    }
+    want = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k in ("a", "b", "c"):
+        for q in ("p50", "p95", "p99"):
+            assert abs(got[k][q] - want[k][q]) < 1e-9, (k, q)
+    assert got["c"].n == 1 and got["c"].p99 == 42.0
+
+
+def test_grouped_quantiles_ignores_nulls(spark):
+    from logsight_filebeat_spark.operators.aggregate import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "k string, v double"
+    )
+    r = grouped_quantiles(df, "k", "v", {"p50": 0.5}).collect()[0]
+    assert r.n == 2 and abs(r.p50 - 2.0) < 1e-9
