@@ -373,6 +373,77 @@ def rate_anomalies(
     )
 
 
+def session_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap: str = "30 minutes",
+    max_steps: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """Navigation-path histogram: sessionize each key's timeline (gap
+    rule identical to :func:`sessionize` / the ev_sessions oracle — a gap
+    strictly over ``gap`` starts a new session), take the first
+    ``max_steps`` events of each session in (ts, tiebreak) order, and
+    count sessions per path string — the "top user journeys" table
+    product analytics and log-workflow mining both start from.
+
+    Scale shape: session labeling is the lag+cumsum construction with
+    both windows on ONE hashpartitioning of the key; the per-session
+    fold (collect → sort → slice) reuses that same partitioning
+    (groupBy(key, sess) clusters by a superset), and only the bounded
+    path histogram shuffles again. A session's struct array is
+    gap-bounded, never a key's whole history."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = df.select(
+        key_col, ts_col, tiebreak_col, event_col, new_s.alias("_new_s")
+    )
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    labeled = flagged.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        event_col,
+        F.sum("_new_s").over(w2).alias("_sess"),
+    )
+    per_session = labeled.groupBy(key_col, "_sess").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(tiebreak_col).alias("b"),
+                                F.col(event_col).alias("e"),
+                            )
+                        )
+                    ),
+                    1,
+                    max_steps,
+                ),
+                lambda x: x["e"],
+            ),
+            sep,
+        ).alias("path")
+    )
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def grouped_quantiles(
     df: DataFrame,
     key_col: str,

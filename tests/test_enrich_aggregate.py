@@ -580,3 +580,46 @@ def test_grouped_quantiles_ignores_nulls(spark):
     )
     r = grouped_quantiles(df, "k", "v", {"p50": 0.5}).collect()[0]
     assert r.n == 2 and abs(r.p50 - 2.0) < 1e-9
+
+
+def test_session_paths_gap_split_and_step_cap(spark):
+    from datetime import datetime, timedelta
+
+    from logsight_filebeat_spark.operators.aggregate import session_paths
+
+    t0 = datetime(2024, 5, 1, 0, 0, 0)
+    m = lambda mins: t0 + timedelta(minutes=mins)
+    rows = [
+        # user 1, session 1: 7 events 1 min apart (path capped at 5)
+        *[(1, m(i), f"e{i}", i) for i in range(7)],
+        # >30 min gap -> session 2
+        (1, m(45), "view", 10), (1, m(46), "click", 11),
+        # user 2: exactly 30 min gap MERGES (strictly-over rule)
+        (2, m(0), "view", 20), (2, m(30), "click", 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    out = {r.path: r.n_sessions for r in session_paths(df).collect()}
+    assert out == {
+        "e0>e1>e2>e3>e4": 1,  # capped at 5 steps
+        "view>click": 2,      # user 1 session 2 + user 2's merged session
+    }
+
+
+def test_session_paths_single_data_shuffle(spark):
+    """Both labeling windows and the per-session fold share one
+    hashpartitioning on the key; only the path histogram adds a second
+    (bounded) exchange."""
+    from datetime import datetime
+
+    from logsight_filebeat_spark.operators.aggregate import session_paths
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 5, 1), "v", 0)],
+        "user_id int, ts timestamp, event_type string, event_id int",
+    )
+    plan = (
+        session_paths(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
