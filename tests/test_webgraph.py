@@ -276,3 +276,42 @@ def test_resolve_chains_cycle_is_bounded_not_livelocked(spark):
     # pointer doubling — bounded work, deterministic output shape
     assert len(rows) == 3
     assert all(r.hops <= 9 for r in rows)
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {a,b,c,d} (4 triangles, each node in 3, clustering 1.0)
+    # plus a pendant vertex e-a (deg(a)=4, clustering drops) and an
+    # isolated edge f-g (no triangles, deg 1 ⇒ coefficient 0.0).
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("e", "a"), ("f", "g"),
+        # duplicates / reversals / self-loop must not change counts
+        ("b", "a"), ("a", "b"), ("c", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: (r.deg, r.triangles, r.clustering)
+        for r in wg.triangle_counts(df).collect()
+    }
+    assert got["a"] == (4, 3, round(2 * 3 / (4 * 3), 6))
+    for n in ("b", "c", "d"):
+        assert got[n] == (3, 3, 1.0)
+    assert got["e"] == (1, 0, 0.0)
+    assert got["f"] == (1, 0, 0.0) and got["g"] == (1, 0, 0.0)
+    # total triangle mass: sum of per-node counts = 3 * n_triangles
+    assert sum(t for _, t, _ in got.values()) == 3 * 4
+    # partitioning invariance
+    got5 = {
+        r.node: (r.deg, r.triangles, r.clustering)
+        for r in wg.triangle_counts(df.repartition(5)).collect()
+    }
+    assert got5 == got
+
+
+def test_triangle_counts_no_cartesian_in_plan(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan = wg.triangle_counts(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
