@@ -555,3 +555,154 @@ def triangle_counts(
             F.round(coeff, 6).alias("clustering"),
         )
     )
+
+
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_seeds: int,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic fixed-point TrustRank (Gyongyi et al., VLDB 2004):
+    personalized PageRank whose teleport vector is uniform over a curated
+    SEED set instead of all nodes — trust flows out of hand-verified good
+    pages along links, so link-farm neighborhoods that inflate vanilla
+    PageRank score near zero. The standard spam-demotion prior in
+    crawl-derived corpus curation.
+
+    Per round, for every node v:
+
+        rank'(v) = seed(v)·((100-d)·r0 div 100 + d·(dang div n_seeds) div 100)
+                   + d·incoming(v) div 100
+
+    with r0 = scale div n_seeds (all start mass on seeds), incoming(v) =
+    Σ_{(u,v)∈E} rank(u) div outdeg(u), and dang = Σ rank over nodes with no
+    out-edges (dangling mass returns to the seed set — the personalized
+    teleport, not the uniform one). All divisions integral, so ranks are
+    scaled-BIGINT bit-exact across partitionings and engines exactly like
+    :func:`pagerank`; a DuckDB oracle unrolls the same rounds and matches
+    floors included.
+
+    ``seeds`` is one column ``node_col`` and is small by definition (a
+    curated whitelist) — it broadcasts into the per-round rank update;
+    ``n_seeds`` is the required control-plane scalar mirroring
+    ``pagerank``'s ``n_nodes``. Join shape per round is identical to
+    :func:`pagerank`: one edges⋈ranks equi-join + one dst hash aggregate +
+    a broadcast 1-row dangling aggregate. Non-seed nodes carry rank 0 until
+    trust reaches them; after k rounds exactly the k-step link neighborhood
+    of the seed set is scored — the intended semantics, not an
+    approximation."""
+    if n_seeds <= 0:
+        raise ValueError("n_seeds must be positive")
+    r0 = scale // n_seeds
+    base = (100 - damping_pct) * r0 // 100
+
+    edges = track_persist(edges)
+    nodes = track_persist(nodes)
+    seed_flag = F.broadcast(
+        seeds.select(F.col(node_col), F.lit(True).alias("_seed"))
+    )
+    outdeg = track_persist(
+        edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    )
+    ranks = (
+        nodes.join(seed_flag, node_col, "left")
+        .select(
+            F.col(node_col),
+            F.when(F.col("_seed"), F.lit(r0)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+    for _ in range(n_iter):
+        ranks = track_persist(ranks)
+        contrib = (
+            edges.join(ranks.withColumnRenamed(node_col, src_col), src_col)
+            .join(outdeg, src_col)
+            .select(
+                F.col(dst_col).alias(node_col),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy(node_col).agg(F.sum("c").alias("inc"))
+        dangling = ranks.join(
+            outdeg, ranks[node_col] == outdeg[src_col], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum"))
+        ranks = (
+            nodes.select(node_col)
+            .join(incoming, node_col, "left")
+            .join(seed_flag, node_col, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                node_col,
+                (
+                    F.when(
+                        F.col("_seed"),
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_pct} * (dsum div {n_seeds})) div 100"
+                        ),
+                    ).otherwise(F.lit(0))
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select(F.col(node_col), F.col("rank").alias("trust_scaled"))
+
+
+def cocitation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_out_degree: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973): pairs of pages that share a
+    citing source, weighted by how many distinct sources link BOTH — the
+    classic link-based "related pages" signal and a near-dup prior for
+    mirror detection (two mirrors inherit the same inbound neighborhoods).
+
+    Returns (a, b, common) with a < b lexicographically, ``common`` =
+    number of distinct sources linking both, filtered to ``common >=
+    min_common``.
+
+    Scale shape: pair generation is a SELF-JOIN of the deduplicated edge
+    list on src — never an all-pairs form; each source of out-degree k
+    yields k·(k-1)/2 pairs. That k² is the one blow-up risk, so sources
+    with out-degree > ``max_out_degree`` are DROPPED first (the standard
+    cap: a 10^4-outlink hub page is a directory, not an endorsement, and
+    contributes k² noise pairs). The cap bounds per-source work at
+    max_out_degree², making the join output linear in sources; the a<b
+    inequality halves it and canonicalizes pair order. One hash aggregate
+    on the (a, b) pair key finishes it."""
+    if max_out_degree < 2:
+        raise ValueError("max_out_degree must be >= 2")
+    e = track_persist(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+    )
+    kept = e.join(
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .filter(F.col("outdeg") <= max_out_degree)
+        .select("src"),
+        "src",
+        "left_semi",
+    )
+    left = kept.select(F.col("src"), F.col("dst").alias("a"))
+    right = kept.select(F.col("src"), F.col("dst").alias("b"))
+    return (
+        left.join(right, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("src").alias("common"))
+        .filter(F.col("common") >= F.lit(min_common))
+    )

@@ -315,3 +315,85 @@ def test_triangle_counts_no_cartesian_in_plan(spark):
     plan = wg.triangle_counts(edges)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _python_trustrank(nodes, edges, seeds, n_iter=3, d=85, scale=10**12):
+    """Reference TrustRank mirroring webgraph.trustrank's integer math."""
+    ns = len(seeds)
+    r0 = scale // ns
+    base = (100 - d) * r0 // 100
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: (r0 if v in seeds else 0) for v in nodes}
+    for _ in range(n_iter):
+        inc = {v: 0 for v in nodes}
+        for s, t in edges:
+            inc[t] += r[s] // out[s]
+        dang = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: (
+                (base + d * (dang // ns) // 100 if v in seeds else 0)
+                + d * inc[v] // 100
+            )
+            for v in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_integer_oracle_and_demotes_spam(spark):
+    # seed A endorses B; spam ring D<->E links only itself and C
+    nodes = ["A", "B", "C", "D", "E"]
+    edges = [("A", "B"), ("B", "C"), ("D", "E"), ("E", "D"), ("D", "C")]
+    seeds = {"A"}
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([("A",)], "node string")
+    want = _python_trustrank(nodes, edges, seeds)
+    got = {
+        r.node: r.trust_scaled
+        for r in wg.trustrank(ndf, edf, sdf, n_seeds=1, n_iter=3).collect()
+    }
+    assert got == want
+    # partition stability: integer arithmetic is associative
+    got2 = {
+        r.node: r.trust_scaled
+        for r in wg.trustrank(
+            ndf.repartition(3), edf.repartition(2), sdf, n_seeds=1, n_iter=3
+        ).collect()
+    }
+    assert got2 == want
+    # the spam ring never touches the seed neighborhood: zero trust
+    assert got["D"] == 0 and got["E"] == 0
+    # trust flows seed -> B -> C
+    assert got["A"] > got["B"] > got["C"] > 0
+
+
+def test_trustrank_rejects_bad_seeds():
+    with pytest.raises(ValueError):
+        wg.trustrank(None, None, None, n_seeds=0)
+
+
+def test_cocitation_counts_and_caps(spark):
+    edges = [
+        # S1 and S2 both cite A and B -> common(A,B) = 2
+        ("S1", "A"), ("S1", "B"),
+        ("S2", "A"), ("S2", "B"), ("S2", "C"),
+        # hub cites everything but exceeds the cap -> contributes nothing
+        ("HUB", "A"), ("HUB", "B"), ("HUB", "C"), ("HUB", "D"),
+        # duplicate edge collapses before pairing
+        ("S1", "A"),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): r.common
+        for r in wg.cocitation(edf, max_out_degree=3).collect()
+    }
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    # pairs canonicalized a < b
+    assert all(a < b for a, b in got)
+
+
+def test_cocitation_rejects_bad_cap():
+    with pytest.raises(ValueError):
+        wg.cocitation(None, max_out_degree=1)
