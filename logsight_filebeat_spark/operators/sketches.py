@@ -393,3 +393,109 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
         .cast("long")
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog (Flajolet et al. 2007) over the portable hash
+# ---------------------------------------------------------------------------
+
+HLL_SPACE_BITS = 40  # same 40-bit md5-derived space as KMV
+
+
+def hll_alpha_scaled(p: int) -> int:
+    """alpha_m · 10^6 as an integer, m = 2^p (the standard bias constant
+    0.7213/(1 + 1.079/m) for m ≥ 128). Computed once on the driver and
+    baked identically into the Spark plan and the oracle SQL, so the
+    float→int rounding happens exactly once, in one place."""
+    m = 1 << p
+    return int(round(0.7213 / (1 + 1.079 / m) * 1_000_000))
+
+
+def _rho(w: Column, width: int) -> Column:
+    """Position of the highest set bit counted from the TOP of a
+    ``width``-bit value, i.e. leading zeros + 1; ``w == 0`` → width + 1.
+    Portable: bit length via the base-2 string (Spark ``conv`` and DuckDB
+    ``bin`` both render without leading zeros, '0' for zero)."""
+    blen = F.length(F.conv(w.cast("string"), 10, 2))
+    return (
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - blen)
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, col: Column | str, p: int = 8, seed: str = "hll:v1"
+) -> DataFrame:
+    """The HLL sketch itself: (register, max_rho), ≤ 2^p rows. Register
+    index = low p bits of the 40-bit portable hash; rho = leading-zero
+    rank of the remaining (40-p)-bit suffix.
+
+    Scale shape: hash + split in the scan projection, then ONE hash
+    aggregate on the register key — map-side partial max means each
+    executor ships at most m=2^p rows whatever the input size. That is the
+    whole point vs exact DISTINCT: the shuffle is O(m), not O(cardinality).
+    Unlike Spark's builtin approx_count_distinct (HLL++, engine-private
+    hash + float register math) every intermediate here is an integer over
+    the md5 hash family — DuckDB rebuilds the identical register table."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    w_bits = HLL_SPACE_BITS - p
+    h = kmv_hash(col, seed)
+    return (
+        df.select(
+            (h % m).cast("int").alias("register"),
+            _rho(F.shiftright(h, p), w_bits).alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of sketches = register-wise max: the merged sketch equals the
+    sketch of the concatenated inputs exactly, so per-partition / per-day
+    sketches roll up without touching raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One row (est_distinct BIGINT) from a register table.
+
+    Raw HLL estimator with every step integral: with G = (40-p)+1 the
+    max possible rho, S = Σ_j 2^(G - M_j) over ALL m registers (absent ⇒
+    M_j = 0), and
+
+        est = alpha_scaled · ((m² · 2^G) div S) div 10^6 .
+
+    m²·2^G ≤ 2^(2p + 41-p) = 2^(p+41) and the inner quotient ≤ 2^(p+33),
+    so for p ≤ 16 everything fits BIGINT with the alpha multiply last.
+    Deliberately NO small-range (linear counting) or large-range
+    corrections: they need ln/float math that breaks cross-engine
+    bit-equality, and at corpus cardinalities (≥ 10·m) the raw estimator
+    is already in its calibrated regime — the use case is dataset-card
+    vocabulary / url / shingle counts, not tiny sets (KMV with n_seen < k
+    covers those exactly)."""
+    m = 1 << p
+    g = HLL_SPACE_BITS - p + 1
+    alpha = hll_alpha_scaled(p)
+    spark = registers.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").cast("int").alias("register"))
+        .join(F.broadcast(registers), "register", "left")
+        .select(F.coalesce("max_rho", F.lit(0)).alias("mr"))
+    )
+    s = full.agg(
+        F.sum(F.expr(f"shiftleft(1L, {g} - mr)")).alias("s")
+    )
+    return s.select(
+        F.expr(
+            f"cast(((cast({(m * m) << g} as bigint) div s)"
+            f" * {alpha}) div 1000000 as bigint)"
+        ).alias("est_distinct")
+    )

@@ -536,3 +536,74 @@ def test_kmv_by_group_python_model_identity(spark):
     # repartition-stable
     sk2 = kmv_by_group(df.repartition(7), "tok", "lang", k=k)
     assert sorted(map(tuple, sk2.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def _py_hll_registers(values, p=8, seed="hll:v1"):
+    """Python model of hll_registers over the md5-derived 40-bit hash."""
+    m = 1 << p
+    w_bits = 40 - p
+    regs = {}
+    for v in set(values):
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:10], 16)
+        reg, w = h % m, h >> p
+        rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_model(spark):
+    from logsight_filebeat_spark.operators.sketches import hll_registers
+
+    vals = [f"tok{i}" for i in range(500)] * 3  # duplicates collapse
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    got = {r.register: r.max_rho for r in hll_registers(df, "tok").collect()}
+    assert got == _py_hll_registers(vals)
+    # partition stability: max is order-free
+    got2 = {
+        r.register: r.max_rho
+        for r in hll_registers(df.repartition(7), "tok").collect()
+    }
+    assert got2 == got
+
+
+def test_hll_estimate_within_standard_error(spark):
+    from logsight_filebeat_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(F.concat(F.lit("v"), "id").alias("v"))
+    est = hll_estimate(hll_registers(df, "v"), p=8).first()["est_distinct"]
+    # raw HLL at m=256: sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from logsight_filebeat_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("x"), "id").alias("v"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("x"), "id").alias("v"))
+    merged = {
+        r.register: r.max_rho
+        for r in hll_merge(
+            hll_registers(a, "v"), hll_registers(b, "v")
+        ).collect()
+    }
+    whole = {
+        r.register: r.max_rho
+        for r in hll_registers(a.unionByName(b), "v").collect()
+    }
+    assert merged == whole
+
+
+def test_hll_rejects_bad_p(spark):
+    import pytest
+
+    from logsight_filebeat_spark.operators.sketches import hll_registers
+
+    with pytest.raises(ValueError):
+        hll_registers(spark.range(1), "id", p=2)
