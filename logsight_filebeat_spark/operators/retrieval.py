@@ -298,3 +298,184 @@ def negative_samples(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
     )
+
+
+def ql_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+) -> DataFrame:
+    """(query_id, doc_id, score): Dirichlet-smoothed query-likelihood
+    language-model retrieval (Zhai & Lafferty, SIGIR 2001) — the standard
+    probabilistic counterpart to BM25 and the second leg of a hybrid
+    baseline. For query q and doc d:
+
+        score = Σ_{t∈q} ln( (tf_td + μ·P(t|C)) / (dl_d + μ) )
+
+    with P(t|C) = cf_t / |C| (collection frequency over total tokens).
+    Decomposed so UNMATCHED terms never need postings:
+
+        score = |q|·ln(μ/(dl+μ)) + Σ_{t∈q} ln(P(t|C))
+                + Σ_{t∈q, tf>0} ln(1 + tf/(μ·P(t|C)))
+
+    — the first addend is per-(query, doc-length), the second a per-query
+    constant, and only the third touches the postings table, filtered
+    through the BROADCAST query-term list first exactly like
+    :func:`bm25_scores`. Docs scored = candidates sharing ≥1 query term
+    (the universal top-k retrieval contract; a doc matching nothing can
+    never enter a top-k that any matching doc enters, because its missing
+    match-sum is 0 and candidates' are > 0... strictly, with all-smoothing
+    scores every candidate outranks every non-candidate of equal dl, and
+    non-candidates' ordering is pure dl — irrelevant for retrieval).
+
+    Query terms with ZERO corpus occurrences are DROPPED (P(t|C)=0 makes
+    every score -inf; the convention every Dirichlet implementation uses).
+    Scores round to 1e-6 (float ln; same cross-engine precedent as BM25).
+    """
+    toks = doc_tokens(docs, text_col, id_col)
+    tf = doc_term_freqs(toks, id_col)
+    dl = doc_lengths(toks, id_col)
+    qt = query_terms.select("query_id", "tok").distinct()
+
+    # collection frequencies for queried terms only (broadcast-filtered)
+    cf = (
+        tf.join(F.broadcast(qt.select("tok").distinct()), "tok")
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("cf"))
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("ctot"))
+    # per-query constants over IN-CORPUS terms: n_terms, sum ln P(t|C)
+    qconst = (
+        qt.join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("qn"),
+            F.sum(F.log(F.col("cf") / F.col("ctot"))).alias("qlogpc"),
+        )
+    )
+    # matched-postings addend
+    match = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + F.col("tf") / (F.lit(mu) * F.col("cf") / F.col("ctot"))
+                )
+            ).alias("msum")
+        )
+    )
+    return (
+        match.join(dl, id_col)
+        .join(F.broadcast(qconst), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("qn") * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+                + F.col("qlogpc")
+                + F.col("msum"),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): Dirichlet-QL top-k per query; ties
+    break on doc_id after rounding, mirroring :func:`bm25_topk`."""
+    scores = ql_scores(docs, query_terms, text_col, id_col, mu)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def reciprocal_rank(
+    ranked: DataFrame, qrels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(query_id, rr): reciprocal rank of the FIRST relevant doc per query
+    (the MRR addend), 0.0 when no relevant doc is retrieved. ``ranked`` is
+    (query_id, id, rank); ``qrels`` is the binary-relevance (query_id, id)
+    ground truth. Both tables are top-k-sized — the whole evaluation is a
+    broadcast join + one min aggregate, corpus never touched."""
+    hit = ranked.join(qrels.select("query_id", id_col), ["query_id", id_col])
+    best = hit.groupBy("query_id").agg(F.min("rank").alias("r1"))
+    return (
+        ranked.select("query_id")
+        .distinct()
+        .join(best, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.when(F.col("r1").isNotNull(), F.lit(1.0) / F.col("r1"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("rr"),
+        )
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame, qrels: DataFrame, k: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """(query_id, ndcg): binary-relevance nDCG@k.
+
+        DCG  = Σ_{i ≤ k, doc_i relevant} 1/log2(i + 1)
+        IDCG = Σ_{i = 1..min(k, R)}      1/log2(i + 1),  R = |relevant(q)|
+
+    IDCG's closed sum is built from a per-query R count + a posexploded
+    1..k sequence (k rows per query — constant work). Queries with R = 0
+    score 0.0 by convention. Rounded to 1e-6 (float log2; BM25
+    precedent)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rel = qrels.select("query_id", id_col)
+    dcg = (
+        ranked.filter(F.col("rank") <= k)
+        .join(rel, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"))
+    )
+    rcount = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("r"))
+    ideal = (
+        rcount.select(
+            "query_id",
+            F.explode(F.sequence(F.lit(1), F.least(F.col("r"), F.lit(k)))).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("i") + 1)).alias("idcg"))
+    )
+    return (
+        ranked.select("query_id")
+        .distinct()
+        .join(dcg, "query_id", "left")
+        .join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.when(
+                    F.col("idcg").isNotNull(),
+                    F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )

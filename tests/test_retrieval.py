@@ -256,3 +256,110 @@ def test_phrase_match_plan_broadcasts_phrases(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _ql(doc_tfs: dict, dl: int, qtoks: list, cf: dict, ctot: int,
+        mu: float = 2000.0) -> float:
+    """Python model of the decomposed Dirichlet QL score (in-corpus terms)."""
+    qin = [t for t in qtoks if cf.get(t, 0) > 0]
+    s = len(qin) * math.log(mu / (dl + mu))
+    s += sum(math.log(cf[t] / ctot) for t in qin)
+    s += sum(
+        math.log(1 + doc_tfs.get(t, 0) / (mu * cf[t] / ctot)) for t in qin
+    )
+    return round(s, 6)
+
+
+def test_ql_scores_hand_oracle(spark, docs):
+    from logsight_filebeat_spark.operators.retrieval import ql_scores
+
+    # corpus stats over DOCS: 14 tokens total
+    cf = {"spark": 2, "join": 2, "hash": 4, "window": 1, "agg": 1,
+          "merge": 1, "customer": 1, "query": 1, "plan": 1}
+    qt = spark.createDataFrame(
+        [("qa", "spark"), ("qa", "hash"), ("qb", "merge"), ("qb", "zzz")],
+        "query_id string, tok string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in ql_scores(docs, qt).collect()
+    }
+    # doc1 "spark join join hash": candidate for qa via spark+hash
+    assert got[("qa", 1)] == pytest.approx(
+        _ql({"spark": 1, "join": 2, "hash": 1}, 4, ["spark", "hash"], cf, 14),
+        abs=2e-6,
+    )
+    # doc3 "hash hash hash merge": qa candidate via hash only — the
+    # unmatched 'spark' still contributes its smoothing addend
+    assert got[("qa", 3)] == pytest.approx(
+        _ql({"hash": 3, "merge": 1}, 4, ["spark", "hash"], cf, 14), abs=2e-6
+    )
+    # OOV term 'zzz' dropped: qb scores as the 1-term query 'merge'
+    assert got[("qb", 3)] == pytest.approx(
+        _ql({"hash": 3, "merge": 1}, 4, ["merge"], cf, 14), abs=2e-6
+    )
+    # matching more query terms with equal dl beats matching fewer
+    assert got[("qa", 1)] > got[("qa", 2)]  # doc2 matches only spark
+
+
+def test_ql_topk_rank_stability(spark, docs):
+    from logsight_filebeat_spark.operators.retrieval import ql_topk
+
+    qt = spark.createDataFrame([("q", "hash")], "query_id string, tok string")
+    r1 = [(r.doc_id, r.rank) for r in ql_topk(docs, qt, k=3).collect()]
+    r2 = [
+        (r.doc_id, r.rank)
+        for r in ql_topk(docs.repartition(5), qt, k=3).collect()
+    ]
+    assert sorted(r1) == sorted(r2)
+    ranks = dict(r1)
+    assert ranks[3] == 1  # tf=3 of 'hash' dominates
+
+
+def test_reciprocal_rank_known_answers(spark):
+    from logsight_filebeat_spark.operators.retrieval import reciprocal_rank
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 10, 1), ("q2", 13, 2)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 11), ("q1", 12), ("q2", 99)],
+        "query_id string, doc_id bigint",
+    )
+    got = {r.query_id: r.rr for r in reciprocal_rank(ranked, qrels).collect()}
+    assert got["q1"] == 0.5  # first relevant at rank 2
+    assert got["q2"] == 0.0  # nothing relevant retrieved
+
+
+def test_ndcg_known_answers(spark):
+    from logsight_filebeat_spark.operators.retrieval import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3)],
+        "query_id string, doc_id bigint, rank int",
+    )
+    # two relevant docs, retrieved at ranks 2 and 3
+    qrels = spark.createDataFrame(
+        [("q1", 11), ("q1", 12)], "query_id string, doc_id bigint"
+    )
+    got = {r.query_id: r.ndcg for r in ndcg_at_k(ranked, qrels, k=3).collect()}
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert got["q1"] == pytest.approx(round(dcg / idcg, 6), abs=2e-6)
+    # perfect ranking scores exactly 1
+    qrels2 = spark.createDataFrame(
+        [("q1", 10), ("q1", 11), ("q1", 12)], "query_id string, doc_id bigint"
+    )
+    got2 = {
+        r.query_id: r.ndcg for r in ndcg_at_k(ranked, qrels2, k=3).collect()
+    }
+    assert got2["q1"] == 1.0
+
+
+def test_ndcg_rejects_bad_k(spark):
+    from logsight_filebeat_spark.operators.retrieval import ndcg_at_k
+
+    with pytest.raises(ValueError):
+        ndcg_at_k(None, None, k=0)
