@@ -66,7 +66,7 @@ _ROUND_CHANGED = [
     "op_mime", "op_network", "op_timestamp", "op_proc_chain2",
     "ev_community_id", "ev_ewma", "en_geoip", "ev_transitions",
     "ev_state_runs", "ev_quantiles", "ev_paths", "wg_triangles",
-    "wg_trustrank", "wg_cocitation", "tx_vocab_hll", "tx_vocab_hll_est", "ir_ql", "ir_eval",
+    "wg_trustrank", "wg_cocitation", "tx_vocab_hll", "tx_vocab_hll_est", "ir_ql", "ir_eval", "ev_hopping",
     # round 4: behavior/plan changes (persist+hint, densified baseline,
     # left-join model, PSL depth, salted default, index replay)
     "wg_canonical", "ev_anomaly", "tx_lm_score", "pg_etld1", "pg_host_cap",

@@ -684,3 +684,48 @@ def cohort_retention(
         )
         .agg(F.countDistinct("_k").alias("n_users"))
     )
+
+
+def hopping_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Hopping (sliding) window aggregates per key: every event lands in
+    size/slide overlapping windows and each (key, window) row reports
+    count + value sum — the smoothed-rate view behind dashboards and the
+    trailing-window features rate_anomalies discretizes away.
+
+    Built on ``F.window(ts, size, slide)`` — Spark expands the window set
+    in the SCAN projection (size/slide rows per event, bounded fan-out,
+    epoch-aligned starts) and everything downstream is ONE hash aggregate
+    on (key, window) with map-side partials. No self-join, no per-window
+    rescans: the classic mistake at 10^12 events is a windows×events range
+    join; the explode form is linear in events × overlap factor.
+
+    Returns (key, window_start, window_end as 'yyyy-MM-dd HH:mm:ss'
+    strings, n_events, value_sum rounded 1e-6)."""
+    agg = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        agg.append(F.round(F.sum(value_col), 6).alias("value_sum"))
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), size, slide).alias("w"),
+        )
+        .agg(*agg)
+        .select(
+            "key",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            *(
+                ["n_events"]
+                + (["value_sum"] if value_col is not None else [])
+            ),
+        )
+    )

@@ -623,3 +623,61 @@ def test_session_paths_single_data_shuffle(spark):
         session_paths(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_hopping_counts_overlap_and_boundaries(spark):
+    from logsight_filebeat_spark.operators.aggregate import hopping_counts
+
+    rows = [
+        # 00:10 -> covered by windows starting 23:15..00:00 (4 windows)
+        (1, "2024-03-01 00:10:00", "a", 1.0),
+        # boundary: exactly 01:00 -> windows 00:15..01:00, NOT 00:00
+        (2, "2024-03-01 01:00:00", "a", 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "id bigint, ts string, k string, value double").select(
+        "id", F.to_timestamp("ts").alias("ts"), "k", "value"
+    )
+    got = {
+        (r.window_start, r.window_end): (r.n_events, r.value_sum)
+        for r in hopping_counts(
+            ev, key_col="k", ts_col="ts", size="1 hour", slide="15 minutes"
+        ).collect()
+    }
+    # each event in exactly 4 windows
+    assert sum(n for n, _ in got.values()) == 8
+    # event 1's windows
+    assert got[("2024-03-01 00:00:00", "2024-03-01 01:00:00")] == (1, 1.0)
+    assert got[("2024-02-29 23:15:00", "2024-03-01 00:15:00")] == (1, 1.0)
+    # boundary event 2 excluded from the window ENDING at 01:00, included
+    # in the one starting there
+    assert ("2024-03-01 00:00:00", "2024-03-01 01:00:00") in got
+    assert got[("2024-03-01 01:00:00", "2024-03-01 02:00:00")] == (1, 2.0)
+    # 00:30-01:30 holds only the boundary event (00:10 predates its start)
+    assert got[("2024-03-01 00:30:00", "2024-03-01 01:30:00")] == (1, 2.0)
+
+
+def test_hopping_counts_partition_stable(spark):
+    from logsight_filebeat_spark.operators.aggregate import hopping_counts
+
+    ev = (
+        spark.range(200)
+        .select(
+            F.col("id"),
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("t0"),
+            (F.col("id") % 3).cast("string").alias("k"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+        .select(
+            "id", F.timestamp_seconds(F.unix_timestamp("t0") + F.col("id") * 37).alias("ts"),
+            "k", "value",
+        )
+    )
+    a = sorted(
+        tuple(r)
+        for r in hopping_counts(ev, key_col="k").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in hopping_counts(ev.repartition(7), key_col="k").collect()
+    )
+    assert a == b and len(a) > 0
