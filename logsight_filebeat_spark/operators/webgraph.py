@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from logsight_filebeat_spark.functions.caching import track_persist
+from logsight_filebeat_spark.functions.caching import (
+    iteration_barrier,
+    track_persist,
+)
 from logsight_filebeat_spark.operators.enrich import url_host
 
 # the href shape the synthetic fixture (sources/pages.py) and any
@@ -705,4 +708,72 @@ def cocitation(
         .groupBy("a", "b")
         .agg(F.countDistinct("src").alias("common"))
         .filter(F.col("common") >= F.lit(min_common))
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph of the
+    UNDIRECTED simple graph in which every node has degree ≥ k. Returns
+    (node, core_deg) for surviving nodes, core_deg = degree within the
+    core. Dense cores separate organically-linked hubs from link farms
+    (farms inflate raw degree but rarely survive peeling, Seidman 1983) —
+    a standard graph-quality prior beside PageRank/TrustRank.
+
+    Algorithm: iterative peeling — drop all nodes with current degree < k,
+    restrict edges to survivors, repeat. Each round is one degree hash
+    aggregate + two left-semi equi-joins over the previous round's edge
+    state. The round body references that state THREE times (twice for
+    the undirected degree union, once as the join probe side), so a
+    persist-only loop grows the analyzed plan 3× per round — 3^n after n
+    rounds, which OOMs driver-side plan stringification by round 3 even
+    on a toy graph. Each round therefore ends at
+    :func:`~logsight_filebeat_spark.functions.caching.iteration_barrier`:
+    materialize + truncate lineage to a leaf, O(1) plan size per round,
+    and the eager materialization doubles as the barrier for the
+    ``n_new`` convergence count. Peeling is CONFLUENT: the fixpoint is
+    unique whatever the removal order, so the result is deterministic at
+    any parallelism and an oracle unrolling the same rounds matches
+    exactly; rounds past convergence are no-ops, which lets a fixed-round
+    SQL unroll mirror the early-exiting Spark loop. ``max_iter`` bounds
+    work; real web graphs converge in a handful of rounds for small k
+    (each round removes a whole frontier, not one node)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = iteration_barrier(
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    n_prev = cur.count()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = iteration_barrier(
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        n_new = cur.count()  # cheap: counts the checkpointed blocks
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
     )

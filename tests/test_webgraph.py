@@ -397,3 +397,69 @@ def test_cocitation_counts_and_caps(spark):
 def test_cocitation_rejects_bad_cap():
     with pytest.raises(ValueError):
         wg.cocitation(None, max_out_degree=1)
+
+
+def _python_kcore(edges, k):
+    """Reference peel: repeatedly drop nodes with undirected degree < k."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    out = {}
+    for a, b in es:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def test_kcore_matches_python_peel(spark):
+    # K4 {a,b,c,d} (survives k=3) + a tail d-e-f (peels off) + a triangle
+    # {x,y,z} (survives k=2, peels at k=3) + duplicates/reversals/self-loop
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("b", "a"), ("a", "a"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for k in (2, 3):
+        want = _python_kcore(edges, k)
+        got = {r.node: r.core_deg for r in wg.kcore(df, k=k).collect()}
+        assert got == want, f"k={k}"
+    # k=3 keeps exactly the K4
+    got3 = {r.node: r.core_deg for r in wg.kcore(df, k=3).collect()}
+    assert got3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # partitioning invariance (confluence of peeling)
+    got_rep = {r.node: r.core_deg for r in wg.kcore(df.repartition(7), k=3).collect()}
+    assert got_rep == got3
+
+
+def test_kcore_empty_core_and_bad_k(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    assert wg.kcore(df, k=3).count() == 0
+    with pytest.raises(ValueError):
+        wg.kcore(df, k=0)
+
+
+def test_kcore_plan_size_constant_per_round(spark):
+    # The round body references the previous state 3x; without per-round
+    # lineage truncation the analyzed plan grows 3^rounds (driver OOM by
+    # round ~3 observed on a 30k-edge graph). iteration_barrier pins the
+    # returned plan to a leaf LogicalRDD: its explain string must stay
+    # small and round-count-independent, and contain no nested join tower.
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    res = wg.kcore(df, k=3, max_iter=8)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+    assert plan.count("Join") == 0  # final agg over the checkpointed leaf
+    assert len(plan) < 4000
