@@ -40,7 +40,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logsight_filebeat_spark.functions import text as tx
-from logsight_filebeat_spark.functions.caching import track_persist
+from logsight_filebeat_spark.functions.caching import (
+    iteration_barrier,
+    track_persist,
+)
 from logsight_filebeat_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
 
 
@@ -58,16 +61,21 @@ def connected_components(
 
     Scale shape: per round one equi-join (edges ⋈ labels on node id) + one
     hash aggregate — both shuffle on node id, no cross product, no collect
-    of node data. Labels persist per round through the tracked-cache
-    registry (caller frees with release_persisted after its action);
-    ``max_iterations`` bounds the worst case (a path graph) — on real
-    near-dup graphs 3-5 rounds close."""
+    of node data. Each round's label table references the previous one
+    THREE times (message join, union, convergence probe), so the analyzed
+    plan would grow 3^rounds under persist alone (persist caches physics,
+    not the nested logical plan — at max_iterations=20 that is 3^20 plan
+    copies and a dead driver); every round therefore ends at
+    ``iteration_barrier`` (eager localCheckpoint): O(1) plan size per
+    round, blocks release via release_persisted after the caller's
+    action. ``max_iterations`` bounds the worst case (a path graph) — on
+    real near-dup graphs 3-5 rounds close."""
     edges = track_persist(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
     )
-    labels = track_persist(
+    labels = iteration_barrier(
         edges.select(F.col("src").alias("id")).distinct().withColumn(
             "comp", F.col("id")
         )
@@ -78,7 +86,7 @@ def connected_components(
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), F.col("comp"))
         )
-        new_labels = track_persist(
+        new_labels = iteration_barrier(
             labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
         )
         changed = (

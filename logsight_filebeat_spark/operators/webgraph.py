@@ -397,26 +397,25 @@ def resolve_chains(
     2^n_iter simply stops mid-cycle (bounded work, no livelock). Join keys
     are the URLs themselves — hash equi-joins, never a sort.
 
-    ``cur`` is persisted at the top of every round (mirroring
-    :func:`pagerank`): each round self-joins the previous state, so an
-    unpersisted lineage doubles per round — 2^n_iter re-derivations of the
-    upstream edge list (at crawl scale, 2^n_iter re-parses of raw html).
-    With the persist, every round is exactly one scan of the cached state
-    plus one equi-join: O(n_iter) work total, plan size linear in
-    n_iter.
+    Each round self-joins the previous state, so an unpersisted lineage
+    doubles per round — 2^n_iter re-derivations of the upstream edge list
+    (at crawl scale, 2^n_iter re-parses of raw html) — and even a
+    persisted one doubles the ANALYZED plan per round (persist caches the
+    physical result; the logical plan still nests). Every round therefore
+    ends at :func:`~logsight_filebeat_spark.functions.caching.
+    iteration_barrier`: eager materialization + lineage truncated to a
+    leaf, so each round is exactly one scan of the previous state's local
+    blocks plus one equi-join — O(n_iter) work AND O(1) plan size per
+    round at any round count. Rounds materialize at call time (not at the
+    caller's action); superseded rounds release via ``release_persisted``.
 
-    ``converge`` (default) adds a per-round full-pass aggregate over the
-    just-persisted state: if NO pointer jumped this round, every root is
-    already a chain terminal and the remaining rounds are skipped. Real
-    redirect/canonical chains are ≤3 hops, so a generous ``n_iter`` costs
-    log2(actual chain length)+1 rounds, not n_iter — at crawl scale each
-    skipped round is a full shuffle of the 10^12-row state. The aggregate
-    doubles as the materialization barrier that makes it safe to
-    unpersist the superseded round (pinned state stays O(1) rounds, not
-    O(n_iter)); with ``converge=False`` nothing materializes until the
-    caller's action, so every round handle stays pinned for the caller's
-    ``release_persisted``."""
-    cur = track_persist(
+    ``converge`` (default) adds a per-round aggregate over the
+    just-materialized state: if NO pointer jumped this round, every root
+    is already a chain terminal and the remaining rounds are skipped.
+    Real redirect/canonical chains are ≤3 hops, so a generous ``n_iter``
+    costs log2(actual chain length)+1 rounds, not n_iter — at crawl scale
+    each skipped round is a full shuffle of the 10^12-row state."""
+    cur = iteration_barrier(
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("root"),
@@ -433,7 +432,7 @@ def resolve_chains(
             F.col("root").alias("_nr"),
             F.col("hops").alias("_nh"),
         ).hint("SHUFFLE_HASH")
-        new = track_persist(
+        cur = iteration_barrier(
             cur.join(nxt, cur["root"] == nxt["_ns"], "left")
             .select(
                 "src",
@@ -442,15 +441,10 @@ def resolve_chains(
                 F.col("_nr").isNotNull().alias("_moved"),
             )
         )
-        prev, cur = cur, new
         if converge:
-            # max(_moved) scans EVERY partition, so the new state is fully
-            # cache-resident before prev unpins — a limit-style probe would
-            # materialize partially and the unpersist would reopen the
-            # recompute-through-dead-lineage hole this function exists to
-            # close
-            moved = new.agg(F.max("_moved").alias("m")).first()["m"]
-            prev.unpersist()
+            # the barrier already materialized every partition of the new
+            # state, so this aggregate is a cheap scan of local blocks
+            moved = cur.agg(F.max("_moved").alias("m")).first()["m"]
             if not moved:
                 break
     return cur.drop("_moved")

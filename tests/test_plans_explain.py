@@ -477,35 +477,16 @@ def test_cms_table_is_one_hash_aggregate_no_python(spark):
     assert "Join" not in plan  # cells come from the scan, not a join
 
 
-def test_resolve_chains_rounds_are_hash_joins(spark):
-    from logsight_filebeat_spark.functions.caching import release_persisted
-    from logsight_filebeat_spark.operators.webgraph import resolve_chains
-
-    df = spark.createDataFrame(
-        [(f"u{i}", f"u{i+1}") for i in range(50)], "src string, dst string"
-    )
-    plan = _formatted(resolve_chains(df, n_iter=4))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    release_persisted()
-
-
-def test_resolve_chains_iteration_state_is_persisted_plan_stays_linear(spark):
-    """The pointer-jump round self-joins the previous state; without the
-    per-round persist the lineage DOUBLES per round (round-3 verdict
-    measured 63 joins / ~64 duplicated upstream scans at n_iter=5 — at
-    crawl scale, 2^n re-parses of the raw html edge derivation). With the
-    persist, each round executes exactly one join over the cached previous
-    state (every upstream round is an InMemoryTableScan cache hit, so the
-    upstream source is derived once at runtime).
-
-    Render caveat: formatted explain re-renders each InMemoryRelation's
-    BUILD plan under every scan that references it, so the total join
-    count in the *text* still compounds even when execution is linear.
-    The faithful invariant is per-segment: split the render at
-    InMemoryRelation boundaries — each cached round's build segment must
-    contain exactly ONE join. Unpersisted (or only-final-persisted), one
-    segment holds all 2^n_iter - 1 = 31 joins and this fails."""
+def test_resolve_chains_plan_is_leaf_per_round(spark):
+    """The pointer-jump round self-joins the previous state; without
+    per-round lineage truncation the lineage DOUBLES per round (round-3
+    verdict measured 63 joins / ~64 duplicated upstream scans at n_iter=5
+    — at crawl scale, 2^n re-parses of the raw html edge derivation; and
+    even with persist the ANALYZED plan still nests 2^n copies). With the
+    per-round iteration_barrier (eager localCheckpoint) the returned plan
+    is a projection over the last round's leaf LogicalRDD: zero joins in
+    the final plan, size independent of n_iter — each round executed
+    exactly one hash join over the previous round's materialized blocks."""
     from logsight_filebeat_spark.functions.caching import release_persisted
     from logsight_filebeat_spark.operators.webgraph import resolve_chains
 
@@ -513,17 +494,45 @@ def test_resolve_chains_iteration_state_is_persisted_plan_stays_linear(spark):
         [(f"u{i}", f"u{i+1}") for i in range(50)], "src string, dst string"
     )
     try:
-        plan5 = _formatted(resolve_chains(df, n_iter=5))
-        assert "InMemoryTableScan" in plan5  # rounds actually cached
-        # tree portion only — the details section re-lists every operator
-        # (plus "Join condition:" lines) outside the tree structure
-        tree = plan5.split("\n\n(")[0]
-        segments = tree.split("InMemoryRelation")
-        worst = max(seg.count("Join") for seg in segments)
-        assert worst <= 1, (
-            f"a cache-build segment holds {worst} joins — per-round "
-            f"persist missing?\n{plan5[:2000]}"
-        )
+        res5 = resolve_chains(df, n_iter=5, converge=False)
+        opt5 = res5._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in opt5
+        assert opt5.count("Join") == 0
+        # round-count independence: n_iter=7 plan is the same size class
+        res7 = resolve_chains(df, n_iter=7, converge=False)
+        opt7 = res7._jdf.queryExecution().optimizedPlan().toString()
+        assert len(opt7) < 2 * len(opt5) + 500
+        plan = _formatted(res5)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        release_persisted()
+
+
+def test_connected_components_plan_is_leaf_per_round(spark):
+    """CC's round body references the previous labels 3x (message join,
+    union, convergence probe) — persist-only lineage grows 3^rounds and
+    kills the driver at real max_iterations. The barrier pins the result
+    to a leaf LogicalRDD regardless of how many rounds ran."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.curation import (
+        connected_components,
+    )
+
+    # a 30-hop path needs 30+ min-label rounds: the old 3^rounds plan
+    # growth would OOM stringification long before convergence
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i+1:02d}") for i in range(30)],
+        "id_a string, id_b string",
+    )
+    try:
+        res = connected_components(df, max_iterations=40)
+        rows = {r.id: r.comp for r in res.collect()}
+        assert set(rows.values()) == {"d00"}  # one component, min label
+        opt = res._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in opt
+        assert opt.count("Join") == 0
+        assert len(opt) < 4000
     finally:
         release_persisted()
 
