@@ -197,35 +197,46 @@ def asof_join(
     )
 
 
+def _densify_hours(hourly: DataFrame) -> DataFrame:
+    """Fill a (key, hour, n) table's grid from each key's first to last
+    observed hour with explicit n=0 rows, so trailing windows mean
+    wall-clock hours (zero-rate hours included). Bounded by keys × hours
+    — dimension-sized, never data-sized."""
+    # the densify path consumes `hourly` TWICE (span + the grid join);
+    # persist so the upstream count aggregate runs once, not twice
+    from logsight_filebeat_spark.functions.caching import track_persist
+
+    hourly = track_persist(hourly)
+    span = hourly.groupBy("key").agg(
+        F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
+    )
+    # grid ⋈ hourly is a self-join (grid derives from hourly); alias the
+    # grid's key to a FRESH attribute so relation-dedup never sees the
+    # same expression id on both sides (it fails to disambiguate when the
+    # shared lineage is a streaming memory-sink view)
+    grid = span.select(
+        F.col("key").alias("key"),
+        F.explode(
+            F.sequence("_h0", "_h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    return grid.join(hourly, ["key", "hour"], "left").select(
+        "key", "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
 def _hourly_counts(
     df: DataFrame, key_col: str, ts_col: str, densify: bool
 ) -> DataFrame:
     """(key, hour, n) hourly counts; with ``densify`` the grid fills each
     key's first→last observed hour with explicit n=0 rows so trailing
-    windows mean wall-clock hours (zero-rate hours included). Bounded by
-    keys × hours — dimension-sized, never data-sized."""
+    windows mean wall-clock hours (zero-rate hours included)."""
     hourly = df.groupBy(
         F.col(key_col).alias("key"),
         F.date_trunc("hour", F.col(ts_col)).alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
     if densify:
-        # the densify path consumes `hourly` TWICE (span + the grid join);
-        # persist so the corpus-wide count aggregate runs once, not twice
-        from logsight_filebeat_spark.functions.caching import track_persist
-
-        hourly = track_persist(hourly)
-        span = hourly.groupBy("key").agg(
-            F.min("hour").alias("_h0"), F.max("hour").alias("_h1")
-        )
-        grid = span.select(
-            "key",
-            F.explode(
-                F.sequence("_h0", "_h1", F.expr("interval 1 hour"))
-            ).alias("hour"),
-        )
-        hourly = grid.join(hourly, ["key", "hour"], "left").select(
-            "key", "hour", F.coalesce("n", F.lit(0)).alias("n")
-        )
+        hourly = _densify_hours(hourly)
     return hourly
 
 
@@ -256,9 +267,34 @@ def ewma_scores(
     same order in any engine at any parallelism; no float passes through
     an order-dependent aggregate. The window is over the hourly table
     (keys × hours), never the corpus."""
+    hourly = _hourly_counts(df, key_col, ts_col, densify=False)
+    return ewma_from_hourly(
+        hourly,
+        alpha=alpha,
+        trailing=trailing,
+        burst_ratio=burst_ratio,
+        densify=densify,
+    )
+
+
+def ewma_from_hourly(
+    hourly: DataFrame,
+    alpha: float = 0.3,
+    trailing: int = 24,
+    burst_ratio: float = 3.0,
+    densify: bool = True,
+) -> DataFrame:
+    """:func:`ewma_scores`' scoring stage over a pre-aggregated
+    (key, hour, n) table — the shared backfill/live view: the batch path
+    feeds it event-table counts, the STREAMING path
+    (streaming/stateful.py::hourly_rates) feeds it the drained state-store
+    counts, and because the scoring expression is literally the same
+    Catalyst code, stream and backfill agree float-for-float (no second
+    implementation of the EWMA math exists to drift)."""
     from pyspark.sql import Window
 
-    hourly = _hourly_counts(df, key_col, ts_col, densify)
+    if densify:
+        hourly = _densify_hours(hourly)
     w = Window.partitionBy("key").orderBy("hour").rowsBetween(-trailing, -1)
     hist = F.array_sort(
         F.collect_list(

@@ -229,3 +229,80 @@ def multiline_events(
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def hourly_rates(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    max_hours: int | None = None,
+) -> DataFrame:
+    """Per-(key, hour) running event counts across micro-batches — the
+    stateful substrate for LIVE burst detection: state holds each key's
+    exact hour→count histogram, each micro-batch folds its rows in, and
+    only the buckets the batch TOUCHED are re-emitted with their updated
+    cumulative count. Counts per bucket are monotone, so the drained
+    stream reduces to final counts with one max() per (key, hour), and
+    scoring those with operators/aggregate.py::ewma_from_hourly yields
+    float-identical results to the batch ewma_scores backfill — the
+    stream and the backfill share the scoring expression, so no second
+    EWMA implementation exists to drift.
+
+    Output: (key, hour, n) — n is the bucket's cumulative count as of
+    this micro-batch. State per key is its hour histogram: exact
+    integers, bounded by hours of retention; ``max_hours`` evicts the
+    OLDEST buckets beyond that many distinct hours (the streaming
+    analogue of a watermark — stream≡backfill equality then holds as
+    long as no event arrives for an evicted hour, i.e. out-of-orderness
+    is bounded by the horizon, the standard watermark contract).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, hour timestamp, n bigint"
+    state_schema = "hours array<bigint>, counts array<bigint>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch: dict[int, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # datetime64 unit varies by pandas/Arrow version (ns vs us);
+            # cast to seconds explicitly rather than assuming ns
+            floored = (
+                pdf[ts_col]
+                .dt.floor("h")
+                .astype("datetime64[s]")
+                .astype("int64")
+            )
+            for h, c in floored.value_counts().items():
+                batch[int(h)] = batch.get(int(h), 0) + int(c)
+        if state.exists:
+            hours, counts = state.get
+            hist = dict(zip(hours, counts))
+        else:
+            hist = {}
+        for h, c in batch.items():
+            hist[h] = hist.get(h, 0) + c
+        if max_hours is not None and len(hist) > max_hours:
+            for h in sorted(hist)[: len(hist) - max_hours]:
+                del hist[h]
+        ordered = sorted(hist)
+        state.update((ordered, [hist[h] for h in ordered]))
+        touched = sorted(h for h in batch if h in hist)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(touched),
+                "hour": pd.to_datetime(touched, unit="s"),
+                "n": [hist[h] for h in touched],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -545,3 +545,110 @@ def test_correlate_streams_rejects_colliding_columns(spark, tmp_path):
     s = spark.readStream.schema("user_id bigint, ts bigint").parquet(d)
     with pytest.raises(ValueError, match="rename upstream"):
         correlate_streams(s, s, left_ts="ts", right_ts="ts")
+
+
+def test_hourly_rates_state_accumulates_and_matches_batch_scoring(
+    spark, tmp_path
+):
+    """hourly_rates folds out-of-order events into per-(key, hour) state
+    across micro-batches; max(n) per bucket over the drained update
+    stream must equal the plain batch hourly count, and scoring it with
+    ewma_from_hourly must match ewma_scores on the same events exactly
+    (shared scoring expression — stream ≡ backfill)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.aggregate import (
+        ewma_from_hourly,
+        ewma_scores,
+    )
+    from logsight_filebeat_spark.streaming.stateful import hourly_rates
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(60):  # key A: hours 0..5, 10 events each
+        rows.append(("A", base + dt.timedelta(hours=i % 6, minutes=i % 50)))
+    for i in range(12):  # key B: a burst hour after a quiet run
+        rows.append(("B", base + dt.timedelta(hours=3, minutes=i)))
+    rows.append(("B", base))
+    # split so each hour's events span files (out-of-order arrival)
+    in_dir = str(tmp_path / "ev")
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    for s in range(3):
+        df.filter(F.minute("ts") % 3 == s).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = hourly_rates(stream, key_col="key", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hr_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table("hr_out")
+    # cross-batch accumulation: some bucket was emitted more than once
+    # with increasing cumulative counts
+    multi = (
+        drained.groupBy("key", "hour")
+        .agg(F.count("*").alias("c"), F.max("n").alias("mx"))
+        .filter(F.col("c") >= 2)
+    )
+    assert multi.count() > 0
+    final = drained.groupBy("key", "hour").agg(F.max("n").alias("n"))
+    batch_hourly = df.groupBy(
+        "key", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sk = lambda r: (r.key, r.hour)
+    assert sorted(final.collect(), key=sk) == sorted(
+        batch_hourly.collect(), key=sk
+    )
+    got = sorted(ewma_from_hourly(final).collect(), key=sk)
+    want = sorted(ewma_scores(df, "key", "ts").collect(), key=sk)
+    assert got == want  # float-exact: same scoring expression
+    # B's hour-3 burst flags against its quiet baseline
+    b3 = [r for r in want if r.key == "B" and r.hour.hour == 3][0]
+    assert b3.is_burst
+
+
+def test_hourly_rates_max_hours_evicts_oldest(spark, tmp_path):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.streaming.stateful import hourly_rates
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = [("K", base + dt.timedelta(hours=h)) for h in range(6)]
+    in_dir = str(tmp_path / "ev2")
+    spark.createDataFrame(rows, "key string, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = hourly_rates(stream, key_col="key", ts_col="ts", max_hours=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hr_ev")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # single batch: all 6 buckets were touched and emitted, but state kept
+    # only the newest 2 — emission reflects surviving buckets
+    got = {r.hour.hour: r.n for r in spark.table("hr_ev").collect()}
+    assert set(got) == {4, 5} and all(v == 1 for v in got.values())
