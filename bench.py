@@ -337,11 +337,21 @@ def main() -> None:
         queries = entry.queries()
         facts.update(_materialize_pages(spark, n_pages, pages_path))
         phase(f"pages materialized ({n_pages} pages)")
+        # best-of-2 per query: this box shows sporadic multi-core CPU
+        # bursts from outside the benchmark (observed: a single query
+        # inflating 5x while its neighbors and the code were unchanged);
+        # one repeat cuts the odds of a poisoned number in the committed
+        # map quadratically, and the second run also measures steady-state
+        # (JIT/cache-warm) like the pipeline children do
         for name in CORPUS_QUERIES:
-            t0 = time.time()
-            _noop(queries[name](spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
-            release_persisted()  # drop operator-pinned self-join caches
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                _noop(queries[name](spark, SF_DIR))
+                took = round(time.time() - t0, 3)
+                release_persisted()  # drop operator-pinned caches
+                best = took if best is None else min(best, took)
+            timings[name] = best
             print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
 
         # html-column scan rate: the text pipeline prunes html away, so the

@@ -738,3 +738,83 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack}) as "
         "(column_name, n_null, n_distinct, min_val, max_val)",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def domain_quality(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_words: int = 20,
+    min_pages: int = 3,
+    min_pass_rate: float = 0.5,
+) -> DataFrame:
+    """Per-domain quality rollup + blocklist flag — the FineWeb/Dolma-style
+    curation stage that acts on HOSTS, not documents: a domain whose pages
+    mostly fail the Gopher gate is boilerplate/spam wholesale, and
+    dropping it also removes its pages that happened to squeak past the
+    per-document gate. Returns one row per host: (host, n_pages, n_pass,
+    sum_words, sum_alpha_words, pass_rate, alpha_frac, blocked).
+
+    ``blocked`` = pass_rate < ``min_pass_rate`` with at least
+    ``min_pages`` pages (low-volume hosts get the benefit of the doubt —
+    one bad page must not blocklist a domain).
+
+    Scale shape: per-page signals are pure codegen Columns in the scan
+    stage; ONE host hash aggregate with map-side partials; every
+    aggregated value is an exact INTEGER (counts and token sums), and the
+    rates derive per-row from those integers — no float ever crosses an
+    order-dependent aggregate, so results are identical at any
+    parallelism and in any engine. Hot hosts: the aggregate is a pure
+    count/sum, so map-side combine already collapses a hot host's rows
+    per task (salting buys nothing a combiner hasn't)."""
+    c = F.col(text_col)
+    toks = tx.tokens(c)
+    per_page = pages.select(
+        F.regexp_extract(F.col(url_col), "https://([^/]+)/", 1).alias("host"),
+        F.size(toks).cast("bigint").alias("_words"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))
+        ).cast("bigint").alias("_alpha"),
+        tx.gopher_pass(c, min_words=min_words).cast("int").alias("_pass"),
+    )
+    agg = per_page.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("_pass").cast("bigint").alias("n_pass"),
+        F.sum("_words").alias("sum_words"),
+        F.sum("_alpha").alias("sum_alpha_words"),
+    )
+    pass_rate = F.round(F.col("n_pass") / F.col("n_pages"), 6)
+    alpha_frac = F.round(
+        F.col("sum_alpha_words") / F.greatest("sum_words", F.lit(1)), 6
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_pass",
+        "sum_words",
+        "sum_alpha_words",
+        pass_rate.alias("pass_rate"),
+        alpha_frac.alias("alpha_frac"),
+        (
+            (pass_rate < min_pass_rate) & (F.col("n_pages") >= min_pages)
+        ).alias("blocked"),
+    )
+
+
+def apply_domain_blocklist(
+    pages: DataFrame, quality: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop every page whose host is blocked in a :func:`domain_quality`
+    rollup. The blocklist side is domain-sized (tiny next to the corpus),
+    so the anti-join broadcasts; the corpus never shuffles."""
+    blocked = F.broadcast(
+        quality.filter(F.col("blocked")).select("host")
+    )
+    with_host = pages.withColumn(
+        "_dq_host", F.regexp_extract(F.col(url_col), "https://([^/]+)/", 1)
+    )
+    return (
+        with_host.join(
+            blocked, with_host["_dq_host"] == blocked["host"], "left_anti"
+        ).drop("_dq_host")
+    )

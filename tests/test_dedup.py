@@ -1216,3 +1216,47 @@ def test_mixture_plan_compiles_weights_to_rates_and_epochs(spark):
         ).collect()
     }
     assert again == {s: (r.rate, r.epochs) for s, r in got.items()}
+
+
+def test_domain_quality_rollup_and_blocklist(spark):
+    from logsight_filebeat_spark.operators.curation import (
+        apply_domain_blocklist,
+        domain_quality,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "in the park with many words of plain prose to read aloud"
+    )
+    spam = "# " * 30 + "buy now"
+    rows = (
+        [(f"https://good.example/{i}", good) for i in range(4)]
+        + [(f"https://spam.example/{i}", spam) for i in range(4)]
+        # mixed host: 1 good page + 3 spam -> pass_rate 0.25 -> blocked
+        + [("https://mixed.example/0", good)]
+        + [(f"https://mixed.example/{i}", spam) for i in range(1, 4)]
+        # tiny host: all spam but only 2 pages -> below min_pages, spared
+        + [(f"https://tiny.example/{i}", spam) for i in range(2)]
+    )
+    pg = spark.createDataFrame(rows, "url string, text string")
+    q = domain_quality(pg, min_words=20, min_pages=3, min_pass_rate=0.5)
+    got = {r.host: r for r in q.collect()}
+    assert got["good.example"].n_pages == 4
+    assert got["good.example"].n_pass == 4
+    assert got["good.example"].pass_rate == 1.0
+    assert not got["good.example"].blocked
+    assert got["spam.example"].blocked
+    assert got["mixed.example"].pass_rate == 0.25
+    assert got["mixed.example"].blocked
+    assert got["tiny.example"].n_pass == 0
+    assert not got["tiny.example"].blocked  # min_pages mercy
+    # integral sums: alpha_frac from exact integer totals
+    assert got["good.example"].sum_words == got["good.example"].sum_alpha_words
+    kept = apply_domain_blocklist(pg, q)
+    hosts = {r.url.split("/")[2] for r in kept.select("url").collect()}
+    assert hosts == {"good.example", "tiny.example"}
+    assert kept.count() == 6
+    assert kept.columns == pg.columns  # helper column dropped
+    # blocklist side broadcasts: corpus never shuffles for the anti-join
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
