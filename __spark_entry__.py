@@ -57,8 +57,8 @@ _ROUND_CHANGED = [
     # round 4 late additions + iteration-barrier plan changes (newest
     # first: the window is the first 50 entries, so order here is the
     # priority order)
-    "wg_kcore", "st_ewma", "pg_domain_quality", "dd_curation_cc",
-    "wg_canonical",
+    "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson",
+    "tx_compaction", "dd_curation_cc", "wg_canonical",
     # round 4: new surface
     "op_dissect_ordered", "st_multiline", "ir_phrase", "tx_bloom",
     "warc_harvest", "pg_group_split", "pg_crawl_diff", "dd_containment",

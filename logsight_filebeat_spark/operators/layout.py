@@ -101,3 +101,74 @@ def cluster_by_zorder(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file",
+    bytes_col: str = "bytes",
+    partition_col: str | None = None,
+    small_only: bool = True,
+) -> DataFrame:
+    """Small-files compaction planning — the Iceberg/Delta maintenance
+    stage (``rewrite_data_files``-style bin packing) over a table's file
+    listing: assign files to rewrite groups of ~``target_bytes`` each.
+    Returns (partition?, grp, grp_bytes, n_files, files — a '|'-joined
+    name-sorted list, engine-portable); singleton
+    groups (one file that is already ≥ target, or a lone leftover small
+    file) need no rewrite and callers skip them via n_files = 1.
+
+    Grouping rule — deterministic and ORDER-BASED: files sort by name
+    within a partition and ``grp = floor(preceding_bytes / target)`` —
+    the cumulative byte axis is cut into target-sized bands and a file
+    joins the band its start offset falls in. Each group's byte span is
+    therefore < target + its largest member (< 2×target for small
+    files); a first-fit-decreasing packer would pack marginally tighter,
+    but it shuffles unrelated key ranges into one file — name order
+    (usually write order) keeps rewritten row groups contiguous,
+    preserving the sort/Z-order clustering the layout stage paid a range
+    shuffle for.
+
+    Scale shape: the file LISTING is metadata (rows = files, ~10^6 at
+    100 TB), so one partitioned window over it costs nothing next to the
+    rewrites it plans; the greedy close-at-target rule is a pure
+    running-sum expression — engine-portable, oracle = the same window in
+    SQL. ``small_only`` pre-drops files already ≥ target (they are their
+    own group and rewriting them buys nothing).
+    """
+    from pyspark.sql import Window
+
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    part = [partition_col] if partition_col else []
+    df = files
+    if small_only:
+        df = df.filter(F.col(bytes_col) < target_bytes)
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # group index = how many targets the PRECEDING bytes already filled —
+    # a file joins the group its predecessors left open; once the running
+    # sum crosses target_bytes the next file starts a new group
+    prev_sum = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    grp = F.floor(prev_sum / F.lit(target_bytes)).cast("bigint")
+    planned = df.select(
+        *part,
+        F.col(file_col).alias("file"),
+        F.col(bytes_col).cast("bigint").alias("bytes"),
+        grp.alias("grp"),
+    )
+    return (
+        planned.groupBy(*part, "grp")
+        .agg(
+            F.sum("bytes").alias("grp_bytes"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.array_join(F.sort_array(F.collect_list("file")), "|").alias(
+                "files"
+            ),
+        )
+        .select(*part, "grp", "grp_bytes", "n_files", "files")
+    )

@@ -1260,3 +1260,38 @@ def test_domain_quality_rollup_and_blocklist(spark):
     # blocklist side broadcasts: corpus never shuffles for the anti-join
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_compaction_plan_bands_and_order(spark):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("p1", "f1", 9), ("p1", "f2", 9), ("p1", "f3", 9), ("p1", "f4", 9),
+        ("p1", "f5", 12),  # >= target: dropped by small_only
+        ("p2", "f1", 3),
+    ]
+    df = spark.createDataFrame(rows, "part string, file string, bytes long")
+    plan = compaction_plan(
+        df, target_bytes=10, partition_col="part"
+    ).collect()
+    got = {(r.part, r.grp): (r.grp_bytes, r.n_files, r.files) for r in plan}
+    # prev sums in p1: 0,9,18,27 -> grps 0,0,1,2 (floor bands)
+    assert got[("p1", 0)] == (18, 2, "f1|f2")
+    assert got[("p1", 1)] == (9, 1, "f3")
+    assert got[("p1", 2)] == (9, 1, "f4")
+    assert ("p1", 3) not in got  # the big file was excluded
+    assert got[("p2", 0)] == (3, 1, "f1")
+    # keep-big-files mode: f5 forms its own band
+    plan_all = compaction_plan(
+        df, target_bytes=10, partition_col="part", small_only=False
+    ).collect()
+    by_file = {
+        (r.part, r.grp): r.files for r in plan_all if "f5" in r.files
+    }
+    assert any("f5" in fs for fs in by_file.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compaction_plan(df, target_bytes=0)

@@ -54,3 +54,45 @@ def test_logfiles_as_pages_runs_full_pipeline(spark):
     # file:// urls match no route rule → constant fallback; bad rows quarantine
     assert counts.get("default", 0) >= 7
     assert counts.get("_quarantine", 0) >= 3  # date-only ts, bogus level, …
+
+
+def test_ndjson_events_parse_quarantine_and_provenance(spark, tmp_path):
+    from logsight_filebeat_spark.sources.jsonlines import ndjson_events
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.ndjson").write_text(
+        '{"ts":"2024-01-01T00:00:00Z","level":"INFO","msg":"ok","host":"h1"}\n'
+        'garbage line\n'
+        '{"msg":"no level or ts"}\n'
+        '{}\n'
+        '{"ts":"2024-01-01T00:00:03Z","level":"bogus","msg":"bad level"}\n'
+    )
+    ev = ndjson_events(spark, str(p))
+    rows = {r.line_idx: r for r in ev.collect()}
+    assert len(rows) == 5  # newline tail dropped, nothing else
+    assert rows[0].parsed.level == "INFO" and not rows[0].corrupt
+    assert rows[1].corrupt and rows[1].parsed is None
+    assert rows[1].raw == "garbage line"  # quarantine keeps the bytes
+    assert not rows[2].corrupt and rows[2].parsed.level is None
+    assert not rows[3].corrupt  # empty object parses; fails validation later
+    assert rows[4].parsed.level == "bogus"
+    # line order is the file order (whole-file read, not split lines)
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    # JVM json path: no Python evaluation in the plan
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ndjson_nested_object_lands_as_json_text(spark, tmp_path):
+    from logsight_filebeat_spark.sources.jsonlines import ndjson_events
+
+    p = tmp_path / "in2"
+    p.mkdir()
+    (p / "b.ndjson").write_text(
+        '{"ts":"t","level":"INFO","msg":"m","host":"h","props":{"code":500}}\n'
+    )
+    row = ndjson_events(spark, str(p)).collect()[0]
+    import json
+
+    assert json.loads(row.parsed.props) == {"code": 500}
