@@ -765,3 +765,65 @@ def hopping_counts(
             ),
         )
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    days: int = 7,
+    min_days: int = 2,
+    burst_ratio: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware rate anomalies: each (key, hour) count scores
+    against the SAME HOUR-OF-DAY on the trailing ``days`` days — the
+    detector that stays quiet through a daily traffic peak the flat
+    z-window (:func:`rate_anomalies`) and the recency EWMA
+    (:func:`ewma_scores`) both flag, and that still fires when 3 a.m.
+    traffic suddenly looks like 3 p.m. Returns (key, hour, n, hist_days,
+    baseline, ratio, is_burst); hours with fewer than ``min_days`` of
+    same-hour history score ratio 0 (no basis), and n > 0 against an
+    all-zero ``min_days``-deep history scores the 10^6 sentinel ratio
+    (a burst from silence is the clearest anomaly, but the true ratio is
+    undefined) — both conventions mirrored in the oracle.
+
+    Engine-stable by construction: the trailing same-hour window
+    aggregates only exact INTEGERS (Σn and the day count) over the
+    DENSIFIED hour grid (zero-rate hours included, so a gap day drags the
+    baseline down rather than vanishing); baseline and ratio derive per
+    row from those integers. The window is over keys × hours —
+    dimension-sized, never data-sized; on the dense grid, same
+    hour-of-day rows are exactly one per day, so ROWS -days..-1 IS the
+    trailing wall-clock ``days`` days."""
+    from pyspark.sql import Window
+
+    hourly = _hourly_counts(df, key_col, ts_col, densify=True)
+    hod = F.hour("hour")
+    w = (
+        Window.partitionBy("key", hod)
+        .orderBy("hour")
+        .rowsBetween(-days, -1)
+    )
+    scored = hourly.select(
+        "key",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("hist_days"),
+        F.sum("n").over(w).alias("_hist_n"),
+    )
+    baseline = F.when(
+        F.col("hist_days") >= min_days,
+        F.col("_hist_n") / F.col("hist_days"),
+    )
+    ratio = F.when(baseline > 0, F.col("n") / baseline).otherwise(
+        F.when(baseline.isNotNull() & (F.col("n") > 0), F.lit(float(10**6)))
+    )
+    return scored.select(
+        "key",
+        "hour",
+        "n",
+        F.col("hist_days").cast("bigint").alias("hist_days"),
+        F.round(F.coalesce(baseline, F.lit(0.0)), 6).alias("baseline"),
+        F.round(F.coalesce(ratio, F.lit(0.0)), 6).alias("ratio"),
+        (F.coalesce(ratio, F.lit(0.0)) >= burst_ratio).alias("is_burst"),
+    )

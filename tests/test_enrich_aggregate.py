@@ -681,3 +681,75 @@ def test_hopping_counts_partition_stable(spark):
         for r in hopping_counts(ev.repartition(7), key_col="k").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_seasonal_anomalies_quiet_on_daily_peak_loud_off_hours(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import (
+        seasonal_anomalies,
+    )
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = []
+    # 6 days of a strong daily noon peak (20 events) over a floor of 1
+    for day in range(6):
+        for h in range(24):
+            cnt = 20 if h == 12 else 1
+            for i in range(cnt):
+                rows.append(
+                    ("svc", base + dt.timedelta(days=day, hours=h, minutes=i))
+                )
+    # day 6: the same noon peak (NOT an anomaly) + a 3am burst (IS one)
+    for i in range(20):
+        rows.append(("svc", base + dt.timedelta(days=6, hours=12, minutes=i)))
+    for i in range(15):
+        rows.append(("svc", base + dt.timedelta(days=6, hours=3, minutes=i)))
+    rows.append(("svc", base + dt.timedelta(days=6, hours=1)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    got = {
+        (r.hour.day, r.hour.hour): r
+        for r in seasonal_anomalies(df, "key", "ts", days=7, min_days=2).collect()
+    }
+    # the day-7 noon peak matches its history: ratio ~1, no burst
+    noon = got[(7, 12)]
+    assert noon.baseline == 20.0 and noon.ratio == 1.0 and not noon.is_burst
+    # the 3am burst: history 1/hour, n=15 -> ratio 15
+    burst = got[(7, 3)]
+    assert burst.baseline == 1.0 and burst.ratio == 15.0 and burst.is_burst
+    # normal 1am hour: ratio 1, quiet
+    assert not got[(7, 1)].is_burst
+    # first day has no history: ratio 0, quiet
+    assert got[(1, 12)].ratio == 0.0 and not got[(1, 12)].is_burst
+    # partitioning invariance
+    got2 = {
+        (r.hour.day, r.hour.hour): (r.ratio, r.is_burst)
+        for r in seasonal_anomalies(
+            df.repartition(7), "key", "ts", days=7, min_days=2
+        ).collect()
+    }
+    assert got2 == {k: (v.ratio, v.is_burst) for k, v in got.items()}
+
+
+def test_seasonal_anomalies_burst_from_silence_sentinel(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import (
+        seasonal_anomalies,
+    )
+
+    base = dt.datetime(2025, 1, 1, 5, 0, 0)
+    # key active at 5am on days 0 and 10 only; the densified grid spans
+    # the gap, so day 10's 5am sees a FULL 7-day same-hour history of
+    # zeros (day 0 has aged out of the window) -> sentinel ratio
+    rows = [("k", base)] + [
+        ("k", base + dt.timedelta(days=10, minutes=i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    got = {
+        (r.hour.day, r.hour.hour): r
+        for r in seasonal_anomalies(df, "key", "ts", days=7, min_days=2).collect()
+    }
+    b = got[(11, 5)]
+    assert b.baseline == 0.0 and b.ratio == 1000000.0 and b.is_burst
+    assert b.hist_days == 7
