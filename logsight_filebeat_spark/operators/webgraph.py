@@ -771,3 +771,71 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+def host_features(
+    pages: DataFrame,
+    seeds: DataFrame | None = None,
+    k: int = 3,
+    kcore_iter: int = 6,
+    trust_iter: int = 3,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-HOST web-graph feature table — the composed curation signal a
+    crawl pipeline joins against its quality gates: (host, n_pages,
+    out_links, in_links, core3_pages, trust_sum). Combines the standalone
+    graph operators (degrees, :func:`kcore` membership, :func:`trustrank`
+    mass) into one host rollup; every aggregated value is an exact
+    INTEGER (counts + the scaled-BIGINT trust ranks), so the rollup is
+    bit-stable at any parallelism and in any engine — no float ever
+    crosses an aggregate.
+
+    A link farm shows up here as: many pages, huge out_links, near-zero
+    in_links from outside, dense k-core membership among its own pages,
+    and ~zero trust_sum; an organic hub as the inverse. ``seeds`` defaults
+    to every page under https://popular.example.org/ (the fixture's
+    curated whitelist); pass a real seed table in production.
+
+    Scale shape: the edge list derives once (persisted through the graph
+    ops' own barriers); degrees are two hash aggregates on the edge list;
+    k-core and trustrank are the bounded-round operators documented on
+    their own functions; the final rollup is ONE host hash aggregate over
+    page-level features (map-side combine collapses hot hosts)."""
+    nodes, edges = page_graph(pages, html_col, url_col)
+    nodes = track_persist(nodes)
+    edges = track_persist(edges)
+    if seeds is None:
+        seeds = nodes.filter(
+            F.col("node").startswith("https://popular.example.org/")
+        )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    core = kcore(edges, k=k, max_iter=kcore_iter).select("node")
+    trust = trustrank(
+        nodes, edges, seeds, n_seeds=seeds.count(), n_iter=trust_iter
+    )
+    per_url = (
+        nodes.join(outdeg, "node", "left")
+        .join(indeg, "node", "left")
+        .join(core.withColumn("_in_core", F.lit(1)), "node", "left")
+        .join(trust, "node")
+        .select(
+            url_host("node").alias("host"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+            F.coalesce("_in_core", F.lit(0)).alias("in_core"),
+            F.col("trust_scaled"),
+        )
+    )
+    return per_url.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("outdeg").alias("out_links"),
+        F.sum("indeg").alias("in_links"),
+        F.sum("in_core").alias("core3_pages"),
+        F.sum("trust_scaled").alias("trust_sum"),
+    )

@@ -463,3 +463,42 @@ def test_kcore_plan_size_constant_per_round(spark):
     assert "LogicalRDD" in plan
     assert plan.count("Join") == 0  # final agg over the checkpointed leaf
     assert len(plan) < 4000
+
+
+def test_host_features_farm_vs_hub(spark):
+    def page(url, targets):
+        html = "".join(f'<a href="{t}">x</a>' for t in targets)
+        return (url, bytearray(html.encode()))
+
+    farm = [f"https://farm.example/{i}" for i in range(4)]
+    hub = "https://popular.example.org/home"
+    rows = (
+        # link farm: every farm page links to every other farm page, and
+        # all of them point AT the hub (spam chasing rank) — but nothing
+        # trusted points back
+        [
+            page(u, [v for v in farm if v != u] + ([hub] if u == farm[0] else []))
+            for u in farm
+        ]
+        # seed hub endorses only the organic page
+        + [page(hub, ["https://site.example/a"])]
+        + [page("https://site.example/a", [hub])]
+    )
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.host: r for r in wg.host_features(df).collect()}
+    f = got["farm.example"]
+    assert f.n_pages == 4
+    assert f.out_links == 13 and f.in_links == 12  # K4; hub ignores it
+    assert f.core3_pages == 4  # the K4 is a 3-core
+    h = got["popular.example.org"]
+    assert h.core3_pages == 0
+    # the farm's raw degrees dwarf the hub's, but NO trusted page points
+    # at it: zero trust mass — the exact signal the composition exists for
+    assert f.trust_sum == 0
+    assert h.trust_sum > 0
+    assert got["site.example"].trust_sum > 0  # directly endorsed by seed
+    # integer stability under repartitioning
+    got2 = {r.host: r for r in wg.host_features(df.repartition(5)).collect()}
+    assert {k: tuple(v) for k, v in got2.items()} == {
+        k: tuple(v) for k, v in got.items()
+    }
