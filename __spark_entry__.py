@@ -57,7 +57,7 @@ _ROUND_CHANGED = [
     # round 4 late additions + iteration-barrier plan changes (newest
     # first: the window is the first 50 entries, so order here is the
     # priority order)
-    "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson",
+    "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson", "st_ndjson",
     "tx_compaction", "ev_seasonal", "wg_host_features", "dd_curation_cc",
     "wg_canonical",
     # round 4: new surface

@@ -51,7 +51,46 @@ def ndjson_events(
     lines Jackson rejects (parsed NULL). Empty lines (including the
     phantom tail of a newline-terminated file) are dropped — a tailing
     harvester would wait for the line to complete."""
-    files = read_ndjson_files(spark, path)
+    return parse_ndjson_files(read_ndjson_files(spark, path), schema)
+
+
+def ndjson_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = DEFAULT_EVENT_SCHEMA,
+) -> DataFrame:
+    """The LIVE twin of :func:`ndjson_events`: a file-source stream
+    (filebeat tailing a log directory) through the IDENTICAL per-line
+    parse/quarantine transformation — stateless, so it runs as a pure
+    streaming projection (no state store) and the drained output equals
+    the batch read of the same files row-for-row. New files appearing in
+    ``path`` become micro-batches; the checkpoint is the registrar.
+
+    Source note: the streaming TEXT source silently ignores
+    ``wholetext`` (each line becomes a row and per-file line provenance
+    is lost), so the stream reads whole files via the ``binaryFile``
+    source (requires an explicit schema in streaming) and decodes —
+    byte-identical content to the batch path's ``spark.read.text``."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select(
+            F.col("path").alias("file"),
+            F.col("content").cast("string").alias("content"),
+        )
+    )
+    return parse_ndjson_files(files, schema)
+
+
+def parse_ndjson_files(
+    files: DataFrame, schema: str = DEFAULT_EVENT_SCHEMA
+) -> DataFrame:
+    """The shared batch/streaming parse: whole-file rows → per-line
+    events with provenance + corrupt lane (see :func:`ndjson_events`)."""
     lines = files.select(
         F.regexp_extract("file", "([^/]+)$", 1).alias("file"),
         F.posexplode(F.split("content", "\n")).alias("line_idx", "raw"),

@@ -96,3 +96,39 @@ def test_ndjson_nested_object_lands_as_json_text(spark, tmp_path):
     import json
 
     assert json.loads(row.parsed.props) == {"code": 500}
+
+
+def test_ndjson_stream_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from logsight_filebeat_spark.sources.jsonlines import (
+        ndjson_events,
+        ndjson_stream,
+    )
+
+    p = tmp_path / "nd"
+    p.mkdir()
+    (p / "a.ndjson").write_text(
+        '{"ts":"2024-01-01T00:00:00Z","level":"INFO","msg":"ok","host":"h"}\n'
+        'broken {\n'
+    )
+    (p / "b.ndjson").write_text('{"msg":"m2"}\n')
+    out = ndjson_stream(spark, str(p)).drop("parsed").withColumn(
+        "file", F.regexp_extract("file", "([^/]+)$", 1)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    key = lambda r: (r.file, r.line_idx)
+    got = sorted(spark.table("nd_out").collect(), key=key)
+    want = sorted(
+        ndjson_events(spark, str(p)).drop("parsed").collect(), key=key
+    )
+    assert got == want
+    assert len(got) == 3 and got[1].corrupt
