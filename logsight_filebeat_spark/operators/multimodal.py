@@ -130,34 +130,40 @@ def with_byte_histogram(
     Emits raw integer ``bucket_counts`` (byte >> 4 for 16 buckets) plus
     ``n_bytes``; callers normalize with :func:`histogram_features` —
     keeping the Python hop integer-only makes the result bit-portable to
-    any re-derivation (no float rounding inside the UDF)."""
+    any re-derivation (no float rounding inside the UDF).
+
+    The hop is a SCALAR pandas_udf over the payload column (the
+    passenger-column discipline of with_grok_vectorized): ids/metadata
+    never cross the Arrow boundary, only payload in and the fixed-width
+    feature struct out — and the payload drops in the SAME projection, so
+    it still never reaches a shuffle."""
     if 256 % buckets:
         raise ValueError(f"buckets must divide 256, got {buckets}")
     shift = (256 // buckets).bit_length() - 1  # byte >> shift → bucket
-    out_schema = T.StructType(
-        [f for f in df.schema.fields if f.name != payload_col]
-        + [T.StructField(out, FEATURES_RAW_SCHEMA)]
-    )
 
-    def run(batches: Iterator) -> Iterator:
+    def feat_fn(col):
         import numpy as np
+        import pandas as pd
 
-        for pdf in batches:
-            feats = []
-            for p in pdf[payload_col]:
-                if p is None or len(p) == 0:
-                    feats.append({"n_bytes": 0, "bucket_counts": [0] * buckets})
-                    continue
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                counts = np.bincount(arr >> shift, minlength=buckets)
-                feats.append(
-                    {"n_bytes": len(arr), "bucket_counts": counts.tolist()}
-                )
-            pdf = pdf.drop(columns=[payload_col])
-            pdf[out] = feats
-            yield pdf
+        n_bytes = []
+        bucket_counts = []
+        for p in col:
+            if p is None or len(p) == 0:
+                n_bytes.append(0)
+                bucket_counts.append([0] * buckets)
+                continue
+            arr = np.frombuffer(bytes(p), dtype=np.uint8)
+            n_bytes.append(len(arr))
+            bucket_counts.append(
+                np.bincount(arr >> shift, minlength=buckets).tolist()
+            )
+        return pd.DataFrame(
+            {"n_bytes": n_bytes, "bucket_counts": bucket_counts}
+        )
 
-    return df.mapInPandas(run, schema=out_schema)
+    feat = F.pandas_udf(feat_fn, FEATURES_RAW_SCHEMA)
+    keep = [c for c in df.columns if c != payload_col]
+    return df.select(*keep, feat(F.col(payload_col)).alias(out))
 
 
 def histogram_features(feat: Column | str, decimals: int = 6) -> Column:
