@@ -75,26 +75,32 @@ def with_decoded(
     out: str = "decoded",
     decoder=fake_decode,
 ) -> DataFrame:
-    """mapInPandas decode stage: Arrow-batched, one Python hop, payload
-    column dropped on output (decoded features only cross the shuffle)."""
-    out_schema = T.StructType(
-        [f for f in df.schema.fields if f.name != payload_col]
-        + [T.StructField(out, DECODED_SCHEMA)]
+    """Arrow-batched decode stage as a SCALAR pandas_udf over the payload
+    column (passenger-column discipline: ids/metadata stay JVM-side, only
+    payload in / decoded struct out); the payload drops in the same
+    projection, so decoded features only cross the shuffle."""
+
+    def decode_fn(col):
+        import pandas as pd
+
+        rows = [
+            (None, None, None)
+            if p is None
+            else decoder(bytes(p))
+            for p in col
+        ]
+        return pd.DataFrame(rows, columns=["width", "height", "channels"])
+
+    dec = F.pandas_udf(decode_fn, DECODED_SCHEMA)
+    keep = [c for c in df.columns if c != payload_col]
+    # NULL payload ⇒ NULL struct (not a struct of NULLs) — the batch-wise
+    # udf can only null fields, so the row-level null lifts via when()
+    return df.select(
+        *keep,
+        F.when(
+            F.col(payload_col).isNotNull(), dec(F.col(payload_col))
+        ).alias(out),
     )
-
-    def run(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            decoded = [
-                None
-                if p is None
-                else dict(zip(("width", "height", "channels"), decoder(bytes(p))))
-                for p in pdf[payload_col]
-            ]
-            pdf = pdf.drop(columns=[payload_col])
-            pdf[out] = decoded
-            yield pdf
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 def frame_sample_indices(n_frames: Column | str, every: int = 10) -> Column:

@@ -946,19 +946,20 @@ def with_grok_vectorized(
 def with_grok_set_vectorized(
     df: DataFrame, col: str, gs: CompiledGrokSet, out: str = "parsed"
 ) -> DataFrame:
-    """Grok-set fallback chain on the Arrow path: still a single mapInPandas
-    stage. Per batch, pattern i only runs over rows the first i patterns
-    left unmatched (the remaining-mask shrinks monotonically, so total regex
+    """Grok-set fallback chain on the Arrow path: ONE Python hop. Per
+    batch, pattern i only runs over rows the first i patterns left
+    unmatched (the remaining-mask shrinks monotonically, so total regex
     work ≈ one pass over the batch plus the residue) — same cost shape as
-    the reference trying patterns in order, but batched. Unmatched groups of
-    matched rows fill '' (native regexp_extract parity); fields the winning
-    pattern lacks stay NULL; the pattern index column is NULL on no match."""
-    flat = {f: f"__{out}_{f}" for f in gs.fields}
-    idx_col = f"__{out}_idx"
-    mid_schema = T.StructType(
-        df.schema.fields
-        + [T.StructField(c, T.StringType()) for c in flat.values()]
-        + [T.StructField(idx_col, T.IntegerType())]
+    the reference trying patterns in order, but batched. Unmatched groups
+    of matched rows fill '' (native regexp_extract parity); fields the
+    winning pattern lacks stay NULL; the pattern index column is NULL on
+    no match. Like with_grok_vectorized, the hop is a SCALAR pandas_udf
+    over the text column returning one struct — passenger columns stay
+    JVM-side."""
+    nf = len(gs.fields)
+    ret_t = T.StructType(
+        [T.StructField(f"g{i}", T.StringType()) for i in range(nf)]
+        + [T.StructField("idx", T.IntegerType())]
     )
     # per-pattern engine choice, decided on the driver: RE2-in-C when the
     # pattern compiles under RE2, Python re otherwise (mixed sets work)
@@ -968,7 +969,7 @@ def with_grok_set_vectorized(
     ]
     union_fields = gs.fields
 
-    def run(batches: Iterator) -> Iterator:
+    def extract_fn(s):
         import pandas as pd
 
         if any(named for _, named, _ in specs):
@@ -981,56 +982,59 @@ def with_grok_set_vectorized(
             (named, re.compile(f"({rx})", re.ASCII) if named is None else None, flds)
             for rx, named, flds in specs
         ]
-        for pdf in batches:
-            pdf = pdf.copy()
-            s = pdf[col]
-            idx = pd.Series(pd.NA, index=s.index, dtype="Int32")
-            vals = {
-                f: pd.Series(pd.NA, index=s.index, dtype=object)
-                for f in union_fields
-            }
-            remaining = s.index
-            for i, (named, pat, flds) in enumerate(pats):
-                if len(remaining) == 0:
-                    break
-                sub = s.loc[remaining]
-                if named is not None:  # RE2 C path
-                    st = pc.extract_regex(
-                        pa.Array.from_pandas(sub), pattern=named
-                    )
-                    ok = pc.is_valid(st).to_pandas()
-                    ok.index = sub.index
-                    hit = remaining[ok.to_numpy()]
-                    if len(hit):
-                        for j, f in enumerate(flds):
-                            v = st.field(f"g{j}").to_pandas()
-                            v.index = sub.index
-                            vals[f].loc[hit] = v.loc[hit]
-                        idx.loc[hit] = i
-                else:  # Python re fallback
-                    ext = sub.str.extract(pat)
-                    ok = ext.iloc[:, 0].notna()
-                    hit = remaining[ok.to_numpy()]
-                    if len(hit):
-                        ext = ext.loc[hit].fillna("")
-                        for j, f in enumerate(flds):
-                            vals[f].loc[hit] = ext.iloc[:, j + 1]
-                        idx.loc[hit] = i
-                remaining = remaining[(~ok).to_numpy()]
-            for f in union_fields:
-                pdf[flat[f]] = vals[f]
-            pdf[idx_col] = idx
-            yield pdf
+        idx = pd.Series(pd.NA, index=s.index, dtype="Int32")
+        vals = {
+            f: pd.Series(pd.NA, index=s.index, dtype=object)
+            for f in union_fields
+        }
+        remaining = s.index
+        for i, (named, pat, flds) in enumerate(pats):
+            if len(remaining) == 0:
+                break
+            sub = s.loc[remaining]
+            if named is not None:  # RE2 C path
+                st = pc.extract_regex(
+                    pa.Array.from_pandas(sub), pattern=named
+                )
+                ok = pc.is_valid(st).to_pandas()
+                ok.index = sub.index
+                hit = remaining[ok.to_numpy()]
+                if len(hit):
+                    for j, f in enumerate(flds):
+                        v = st.field(f"g{j}").to_pandas()
+                        v.index = sub.index
+                        vals[f].loc[hit] = v.loc[hit]
+                    idx.loc[hit] = i
+            else:  # Python re fallback
+                ext = sub.str.extract(pat)
+                ok = ext.iloc[:, 0].notna()
+                hit = remaining[ok.to_numpy()]
+                if len(hit):
+                    ext = ext.loc[hit].fillna("")
+                    for j, f in enumerate(flds):
+                        vals[f].loc[hit] = ext.iloc[:, j + 1]
+                    idx.loc[hit] = i
+            remaining = remaining[(~ok).to_numpy()]
+        cols = {f"g{i}": vals[f] for i, f in enumerate(union_fields)}
+        cols["idx"] = idx
+        return pd.DataFrame(cols)
 
-    mid = df.mapInPandas(run, schema=mid_schema)
+    extract = F.pandas_udf(extract_fn, ret_t)
+    tmp = f"__{out}_x"
+    mid = df.withColumn(tmp, extract(F.col(col)))
     struct = F.when(
-        F.col(idx_col).isNotNull(),
-        F.struct(*[F.col(c).alias(f) for f, c in flat.items()]),
+        F.col(f"{tmp}.idx").isNotNull(),
+        F.struct(
+            *[
+                F.col(f"{tmp}.g{i}").alias(f)
+                for i, f in enumerate(union_fields)
+            ]
+        ),
     )
     return (
         mid.withColumn(out, struct)
-        .withColumn(out + PATTERN_IDX_SUFFIX, F.col(idx_col))
-        .drop(*flat.values(), idx_col)
+        .withColumn(out + PATTERN_IDX_SUFFIX, F.col(f"{tmp}.idx"))
+        .drop(tmp)
     )
 
 
