@@ -818,3 +818,56 @@ def apply_domain_blocklist(
             blocked, with_host["_dq_host"] == blocked["host"], "left_anti"
         ).drop("_dq_host")
     )
+
+
+def classifier_calibration(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    thresholds: tuple = (-0.02, -0.01, 0.0, 0.01, 0.02),
+) -> DataFrame:
+    """Calibration / PR report for a quality classifier against reference
+    labels (e.g. the Gopher gate as pseudo-labels): for each candidate
+    decision threshold t, the confusion counts of the rule
+    ``keep ⇔ score ≥ t`` and the derived precision/recall/F1 — the table
+    a curation team reads before picking the filter's operating point
+    (DCLM/CCNet-style classifier tuning).
+
+    Scale shape: one broadcast of the tiny threshold list against the
+    per-doc (score, label) projection, then ONE hash aggregate keyed on
+    threshold — counts are exact integers, precision/recall/F1 derive per
+    row from them (no float crosses an aggregate)."""
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    pred = F.col(score_col) >= F.col("threshold")
+    lab = F.col(label_col)
+    agg = (
+        scored.select(F.col(score_col), lab.alias("_lab"))
+        .select("*", thr)
+        .groupBy("threshold")
+        .agg(
+            F.sum((pred & F.col("_lab")).cast("int")).alias("tp"),
+            F.sum((pred & ~F.col("_lab")).cast("int")).alias("fp"),
+            F.sum((~pred & F.col("_lab")).cast("int")).alias("fn"),
+            F.sum((~pred & ~F.col("_lab")).cast("int")).alias("tn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return agg.select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round(F.coalesce(prec, F.lit(0.0)), 6).alias("precision"),
+        F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("recall"),
+        F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("f1"),
+    )

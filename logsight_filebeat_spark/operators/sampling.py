@@ -709,3 +709,62 @@ def quantile_gate(
         .filter(F.col(score_col) >= F.col("threshold"))
         .drop("threshold")
     )
+
+
+def stride_interleave(
+    df: DataFrame,
+    source_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleaving of corpus sources — the
+    training-data ORDERING stage after :func:`mixture_plan` picks
+    proportions: documents from source s appear in the merged stream at
+    rate ∝ ``weights[s]``, evenly spread (stride scheduling / weighted
+    round-robin), not in per-source blocks that would make late training
+    steps see a single distribution.
+
+    Each doc gets (source_idx, interleave_key): source_idx = its rank
+    within its source (deterministic, ordered by id); interleave_key =
+    (2·i − 1)·(L div w_s) with L = lcm(weights) — stride scheduling's
+    virtual time (i − ½)/w_s scaled by 2·L, which is EXACTLY integral
+    (L div w_s is exact by construction of L), so sorting by
+    (interleave_key, source, id) is the evenly-interleaved order with no
+    floor collapsing distinct virtual times. INTEGER arithmetic
+    throughout ⇒ the order is identical at any parallelism and in any
+    engine. Sources absent from ``weights`` are dropped (weight 0).
+
+    Scale shape: ONE per-source window (row_number shuffles on source —
+    salt a pathologically hot source upstream) and a pure-Column key. The
+    key IS the training order: writers range-shuffle by it
+    (repartitionByRange + sortWithinPartitions) rather than materialize a
+    dense global position, which would cost a global rank; for bounded
+    tables a downstream sort by key is the dense order."""
+    import math
+
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(int(w) != w or w < 1 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = 1
+    for wt in weights.values():
+        lcm = math.lcm(lcm, int(wt))
+    src = F.col(source_col)
+    mult_col = None  # per-source exact multiplier L div w_s
+    for s, wt in sorted(weights.items()):
+        branch = (src == F.lit(s), F.lit(lcm // int(wt)))
+        mult_col = (
+            F.when(*branch) if mult_col is None else mult_col.when(*branch)
+        )
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    out = (
+        df.filter(src.isin(*[F.lit(s) for s in weights]))
+        .withColumn("source_idx", F.row_number().over(w).cast("bigint"))
+        .withColumn("_m", mult_col.cast("bigint"))
+    )
+    key = (F.lit(2) * F.col("source_idx") - F.lit(1)) * F.col("_m")
+    return out.withColumn(
+        "interleave_key", key.cast("bigint")
+    ).drop("_m")

@@ -1295,3 +1295,49 @@ def test_compaction_plan_bands_and_order(spark):
 
     with _pytest.raises(ValueError):
         compaction_plan(df, target_bytes=0)
+
+
+def test_classifier_calibration_confusion_counts(spark):
+    from logsight_filebeat_spark.operators.curation import (
+        classifier_calibration,
+    )
+
+    rows = [
+        (0.5, True), (0.5, False), (-0.5, True), (-0.5, False),
+        (0.0, True),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {
+        r.threshold: r
+        for r in classifier_calibration(
+            df, "label", thresholds=(0.0, 1.0)
+        ).collect()
+    }
+    t0 = got[0.0]  # keep: 0.5,0.5,0.0 -> tp=2 (0.5T,0.0T) fp=1 fn=1 tn=1
+    assert (t0.tp, t0.fp, t0.fn, t0.tn) == (2, 1, 1, 1)
+    assert t0.precision == round(2 / 3, 6) and t0.recall == round(2 / 3, 6)
+    assert t0.f1 == round(2 / 3, 6)
+    t1 = got[1.0]  # nothing kept
+    assert (t1.tp, t1.fp, t1.fn, t1.tn) == (0, 0, 3, 2)
+    assert t1.precision == 0.0 and t1.recall == 0.0 and t1.f1 == 0.0
+
+
+def test_stride_interleave_even_merge(spark):
+    from logsight_filebeat_spark.operators.sampling import stride_interleave
+
+    rows = [(i, "a") for i in range(6)] + [(i + 100, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stride_interleave(df, "source", {"a": 2, "b": 1}).collect()
+    order = [
+        r.source
+        for r in sorted(out, key=lambda r: (r.interleave_key, r.source, r.doc_id))
+    ]
+    # a at rate 2, b at rate 1: pattern ~ a b a a b a a b a
+    assert order == ["a", "b", "a", "a", "b", "a", "a", "b", "a"]
+    # unknown sources are dropped, bad weights rejected
+    df2 = df.withColumn("source", F.lit("zz"))
+    assert stride_interleave(df2, "source", {"a": 1}).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stride_interleave(df, "source", {"a": 0})

@@ -71,9 +71,16 @@ def test_vectorized_grok_is_single_python_stage(spark):
     plan = _formatted(out)
     import re
 
-    # exactly ONE Python stage (formatted mode lists each node once in the
-    # tree and once in the details section → one node id)
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    # exactly ONE Python stage, and it is the SCALAR pandas_udf form
+    # (ArrowEvalPython over the text column) — mapInPandas would round-trip
+    # every passenger column through Arrow (measured 2.2x slower)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "MapInPandas" not in plan
+    # only the text column enters the Python stage
+    arrow_line = [
+        l for l in plan.splitlines() if "ArrowEvalPython" in l and "(" in l
+    ]
+    assert arrow_line
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
@@ -231,7 +238,9 @@ def test_byte_histogram_is_single_python_stage(spark):
 
     df = spark.createDataFrame([(1, b"abc")], "doc_id bigint, payload binary")
     plan = _formatted(with_byte_histogram(df))
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    # scalar pandas_udf: payload in, feature struct out, ids stay JVM-side
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "MapInPandas" not in plan
 
 
 def test_quantize_is_join_free_projection(spark):
