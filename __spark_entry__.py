@@ -59,7 +59,8 @@ _ROUND_CHANGED = [
     # priority order)
     "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson", "st_ndjson",
     "tx_compaction", "ev_seasonal", "wg_host_features", "dd_interleave",
-    "tx_classifier_eval", "dd_curation_cc",
+    "tx_classifier_eval", "en_useragent", "en_url_parts", "op_severity",
+    "dd_curation_cc",
     "wg_canonical",
     # round 4: new surface
     "op_dissect_ordered", "st_multiline", "ir_phrase", "tx_bloom",

@@ -488,3 +488,125 @@ def ip_range_lookup(
         )
         .drop("_ipl", "_bucket", "_bs", "_be")
     )
+
+
+# ---------------------------------------------------------------------------
+# ECS-style user_agent.* classification — rule-ordered regex families
+# ---------------------------------------------------------------------------
+
+# (family, pattern) in PRECEDENCE order: first match wins, mirroring the
+# rule lists UA parsers (ua-parser/uap-core style) evaluate top-down. Bots
+# outrank browsers (a crawler advertising "Chrome/99" is still a bot).
+UA_BROWSER_RULES = (
+    ("bot", r"(?i)(bot|crawler|spider|slurp|curl|wget|python-requests)"),
+    ("edge", r"Edg(e|A|iOS)?/"),
+    ("opera", r"(OPR|Opera)/"),
+    ("chrome", r"Chrome/"),
+    ("firefox", r"Firefox/"),
+    ("safari", r"Safari/"),
+)
+UA_OS_RULES = (
+    ("android", r"Android"),
+    ("ios", r"(iPhone|iPad|iPod)"),
+    ("windows", r"Windows NT"),
+    ("macos", r"Mac OS X"),
+    ("linux", r"Linux"),
+)
+
+
+def _first_match(col: Column, rules, default: str = "other") -> Column:
+    out = None
+    for name, pat in rules:
+        branch = (col.rlike(pat), F.lit(name))
+        out = F.when(*branch) if out is None else out.when(*branch)
+    return out.otherwise(F.lit(default))
+
+
+def parse_user_agent(col: Column | str) -> Column:
+    """ECS ``user_agent.*`` classification as one struct Column:
+    (browser, os, is_bot, version) from a raw User-Agent string —
+    rule-ordered regex families (first match wins, bots outrank browser
+    tokens), version = the matched browser's major version where the
+    token carries one. Pure codegen scan work: the rule list compiles to
+    a when-chain of JVM regexes, no UDF, no join — the Beats/ES
+    ``user_agent`` processor surface for the fields that matter in log
+    analytics. NULL input ⇒ NULL struct."""
+    c = F.col(col) if isinstance(col, str) else col
+    browser = _first_match(c, UA_BROWSER_RULES)
+    osf = _first_match(c, UA_OS_RULES)
+    version = F.regexp_extract(
+        c, r"(?:Edg[eA]?|OPR|Opera|Chrome|Firefox|Version)/(\d+)", 1
+    )
+    return F.when(
+        c.isNotNull(),
+        F.struct(
+            browser.alias("browser"),
+            osf.alias("os"),
+            (browser == "bot").alias("is_bot"),
+            F.when(version != "", version).alias("version"),
+        ),
+    )
+
+
+def parse_url_parts(col: Column | str) -> Column:
+    """ECS ``url.*`` decomposition as one struct Column: (scheme, host,
+    port, path, query, fragment) via ``try_parse_url`` — the JVM parser,
+    NULL parts for absent components, NULL-safe on malformed input (ANSI
+    mode raises from plain parse_url). One scan projection; downstream
+    query-param extraction composes with ``str_to_map`` on ``query``."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def part(p: str) -> Column:
+        return F.try_parse_url(c, F.lit(p))
+
+    # parse_url has no PORT part-name; the port rides AUTHORITY as
+    # host:port — extract it there (NULL when absent)
+    port = F.regexp_extract(part("AUTHORITY"), r":(\d+)$", 1)
+    return F.struct(
+        F.lower(part("PROTOCOL")).alias("scheme"),
+        part("HOST").alias("host"),
+        F.when(port != "", port).cast("int").alias("port"),
+        part("PATH").alias("path"),
+        part("QUERY").alias("query"),
+        part("REF").alias("fragment"),
+    )
+
+
+# syslog numeric severity (RFC 5424 table 2) ⇔ canonical level names, plus
+# the loose app-log aliases Beats configs actually meet
+SEVERITY_NAMES = (
+    "emergency", "alert", "critical", "error",
+    "warning", "notice", "informational", "debug",
+)
+_LEVEL_ALIASES = {
+    "emerg": 0, "emergency": 0, "panic": 0,
+    "alert": 1,
+    "crit": 2, "critical": 2, "fatal": 2,
+    "err": 3, "error": 3, "severe": 3,
+    "warn": 4, "warning": 4,
+    "notice": 5,
+    "info": 6, "informational": 6,
+    "debug": 7, "trace": 7, "fine": 7,
+}
+
+
+def normalize_severity(col: Column | str) -> Column:
+    """Map a free-form level token (INFO / err / SEVERE / 3 / ...) to the
+    RFC 5424 severity struct (code, name): numeric strings 0-7 pass
+    through, known aliases map case-insensitively, anything else ⇒ NULL
+    struct (callers route unknowns to quarantine). A when-chain over a
+    literal table — scan-stage codegen, no join needed at this alias-table
+    size."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(F.trim(c))
+    code = F.when(low.rlike(r"^[0-7]$"), low.cast("int"))
+    for alias, sev in sorted(_LEVEL_ALIASES.items()):
+        code = code.when(low == alias, F.lit(sev))
+    names = F.array(*[F.lit(n) for n in SEVERITY_NAMES])
+    return F.when(
+        code.isNotNull(),
+        F.struct(
+            code.alias("code"),
+            F.element_at(names, code + 1).alias("name"),
+        ),
+    )

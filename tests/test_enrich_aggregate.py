@@ -753,3 +753,56 @@ def test_seasonal_anomalies_burst_from_silence_sentinel(spark):
     b = got[(11, 5)]
     assert b.baseline == 0.0 and b.ratio == 1000000.0 and b.is_burst
     assert b.hist_days == 7
+
+
+def test_parse_user_agent_rules_and_precedence(spark):
+    from logsight_filebeat_spark.operators.enrich import parse_user_agent
+
+    rows = [
+        ("Mozilla/5.0 (Windows NT 10.0) Chrome/124.0 Safari/537.36",),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) Version/17.4 Safari/605.1.15",),
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://example)",),  # bot wins
+        ("SpecialBot Chrome/99",),  # bot outranks Chrome token
+        ("curl/8.5.0",),
+        ("something unknown",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "ua string")
+    got = [r.p for r in df.select(parse_user_agent("ua").alias("p")).collect()]
+    assert (got[0].browser, got[0].os, got[0].is_bot, got[0].version) == (
+        "chrome", "windows", False, "124")
+    assert (got[1].browser, got[1].os, got[1].version) == ("safari", "macos", "17")
+    assert got[2].is_bot and got[3].is_bot and got[4].is_bot
+    assert got[5].browser == "other" and got[5].os == "other"
+    assert got[6] is None
+    # pure codegen: no Python stage
+    plan = df.select(parse_user_agent("ua"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_parse_url_parts_components(spark):
+    from logsight_filebeat_spark.operators.enrich import parse_url_parts
+
+    rows = [
+        ("https://h.example:8443/a/b?x=1&y=2#top",),
+        ("http://h.example/a",),
+        ("::garbage::",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.p for r in df.select(parse_url_parts("url").alias("p")).collect()]
+    assert tuple(got[0]) == ("https", "h.example", 8443, "/a/b", "x=1&y=2", "top")
+    assert tuple(got[1]) == ("http", "h.example", None, "/a", None, None)
+    assert all(v is None for v in got[2])
+
+
+def test_normalize_severity_aliases_numbers_unknowns(spark):
+    from logsight_filebeat_spark.operators.enrich import normalize_severity
+
+    rows = [("INFO",), ("err",), (" FATAL ",), ("5",), ("9",), ("junk",)]
+    df = spark.createDataFrame(rows, "l string")
+    got = [r.s for r in df.select(normalize_severity("l").alias("s")).collect()]
+    assert tuple(got[0]) == (6, "informational")
+    assert tuple(got[1]) == (3, "error")
+    assert tuple(got[2]) == (2, "critical")
+    assert tuple(got[3]) == (5, "notice")
+    assert got[4] is None and got[5] is None
