@@ -45,14 +45,35 @@ def enrich_with_lookup(
     tag_cols: dict[str, str],
     tags_col: str = "tags",
     lookup_key: str | None = None,
+    max_literal_entries: int | None = 64,
 ) -> DataFrame:
-    """Broadcast-left-join ``lookup`` and fold selected lookup columns into
+    """Enrich from a lookup table, folding selected lookup columns into
     the tags map as {tag_key: value}; rows with no match (or NULL values)
     get no entry — skip-on-missing, mapper.go:103-106.
 
     ``on``: fact-side join column (name or expression, e.g. url_host()).
     ``tag_cols``: {tag_key_out: lookup_column_in}.
     ``lookup_key``: lookup-side key column (default: same name as ``on``).
+
+    Two physical strategies, picked here on the driver:
+
+    * **literal map** — when the lookup has ≤ ``max_literal_entries``
+      unique-keyed rows (probed with one bounded ``limit(n+1).collect()``
+      at plan-build time), the whole table compiles into ``create_map``
+      literals and the probe is ``element_at`` INSIDE the scan's
+      whole-stage codegen: no join operator, no broadcast exchange, no
+      build side. End-to-end the flagship pipeline times the same either
+      way at test scale (the broadcast build is tiny); what the literal
+      form buys is plan shape — the whole map stage stays ONE shuffle-free
+      codegen projection (pinned in test_plans_explain), each STACKED
+      lookup adds zero operators where a join adds an exchange + build
+      per processor (real Beats configs chain many translate/add_fields),
+      and count()-style partial evaluations can prune through it. Beats
+      lookups are config-sized, so this is the hot path's default.
+    * **broadcast hash join** — anything larger (or duplicate-keyed,
+      where join semantics duplicate fact rows and a map cannot), the
+      classic broadcast left join. Pass ``max_literal_entries=None`` to
+      force it.
     """
     join_col = df[on] if isinstance(on, str) else on
     key = lookup_key or (on if isinstance(on, str) else None)
@@ -60,6 +81,37 @@ def enrich_with_lookup(
         raise ValueError("lookup_key required when `on` is an expression")
     needed = [key] + sorted(set(tag_cols.values()))
     small = lookup.select(*needed)
+
+    if max_literal_entries is not None:
+        probe = small.limit(max_literal_entries + 1).collect()
+        keys = [r[key] for r in probe]
+        if len(probe) <= max_literal_entries and len(set(keys)) == len(keys):
+            entries = []
+            for tag_key, src in sorted(tag_cols.items()):
+                pairs = [
+                    x
+                    for r in probe
+                    if r[key] is not None
+                    for x in (F.lit(r[key]), F.lit(r[src]))
+                ]
+                val = (
+                    F.element_at(F.create_map(*pairs), join_col)
+                    if pairs
+                    else F.lit(None).cast("string")
+                )
+                entries.append(
+                    F.struct(
+                        F.lit(tag_key).alias("key"), val.alias("value")
+                    )
+                )
+            arr = F.filter(
+                F.array(*entries),
+                lambda e: e.getField("value").isNotNull(),
+            )
+            new_tags = F.map_concat(
+                F.col(tags_col), F.map_from_entries(arr)
+            )
+            return df.withColumn(tags_col, new_tags)
 
     joined = df.join(
         F.broadcast(small), join_col == small[key], "left"

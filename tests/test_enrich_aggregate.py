@@ -40,16 +40,38 @@ def test_enrich_skip_on_missing(spark):
     assert got["zz"] == {"x": "2"}  # no lang_name key at all
 
 
-def test_enrich_by_expression_key_is_broadcast(spark):
+def test_enrich_by_expression_key_literal_and_join_paths_agree(spark):
     df = pages(spark, 200).withColumn("tags", F.create_map().cast("map<string,string>"))
-    out = enrich_with_lookup(
+    lit = enrich_with_lookup(
         df, host_meta(spark), url_host("url"), {"site_category": "site_category"},
         lookup_key="host",
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    cats = {r[0] for r in out.select(F.element_at("tags", "site_category")).distinct().collect()}
+    # config-sized lookup ⇒ literal-map fast path: no join in the plan
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    cats = {r[0] for r in lit.select(F.element_at("tags", "site_category")).distinct().collect()}
     assert "hot" in cats
+    # forced join path (max_literal_entries=None) is row-identical
+    jn = enrich_with_lookup(
+        df, host_meta(spark), url_host("url"), {"site_category": "site_category"},
+        lookup_key="host", max_literal_entries=None,
+    )
+    plan_jn = jn._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_jn
+    key = lambda r: r.url
+    assert sorted(
+        [(r.url, dict(r.tags)) for r in lit.select("url", "tags").collect()]
+    ) == sorted(
+        [(r.url, dict(r.tags)) for r in jn.select("url", "tags").collect()]
+    )
+    # a duplicate-keyed lookup must refuse the map path (joins duplicate
+    # fact rows; a map cannot) and fall back
+    dup = host_meta(spark).unionByName(host_meta(spark).limit(1))
+    out_dup = enrich_with_lookup(
+        df, dup, url_host("url"), {"site_category": "site_category"},
+        lookup_key="host",
+    )
+    assert "Join" in out_dup._jdf.queryExecution().executedPlan().toString()
 
 
 def test_sink_hour_aggregates_and_failure_rate(spark):

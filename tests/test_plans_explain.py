@@ -41,13 +41,17 @@ def test_flagship_prunes_html_from_scan(spark):
     assert all("html" not in l for l in read_schema), read_schema
 
 
-def test_flagship_uses_broadcast_joins_for_lookups(spark):
+def test_flagship_lookups_compile_to_literal_maps_not_joins(spark):
+    """Config-sized lookups (host_meta, lang_meta) take enrich_with_lookup's
+    literal-map fast path: the probe is element_at inside the scan's
+    codegen — NO join operator and NO exchange anywhere in the mapped
+    plan, so stacking lookups never stacks broadcast builds. Bigger or
+    duplicate-keyed lookups still broadcast-join (covered in
+    test_enrich_aggregate.py)."""
     pg = spark.read.parquet(PAGES)
     plan = _formatted(_pages_plan(spark).mapped(pg))
-    # two broadcast joins (host_meta + lang_meta); formatted mode prints each
-    # node in the tree and again in the details section
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # the whole map stage is shuffle-free
 
 
 def test_flagship_column_path_has_no_python_eval(spark):
