@@ -58,7 +58,8 @@ _ROUND_CHANGED = [
     # first: the window is the first 50 entries, so order here is the
     # priority order)
     "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson", "st_ndjson",
-    "tx_compaction", "ev_seasonal", "wg_host_features", "dd_interleave",
+    "tx_compaction", "tx_snapshot_expiry", "ev_seasonal", "wg_host_features",
+    "dd_interleave",
     "tx_classifier_eval", "en_useragent", "en_url_parts", "op_severity",
     "dd_curation_cc",
     "wg_canonical",

@@ -172,3 +172,57 @@ def compaction_plan(
         )
         .select(*part, "grp", "grp_bytes", "n_files", "files")
     )
+
+
+def snapshot_expiry_plan(
+    snapshots: DataFrame,
+    retain_last: int = 5,
+    daily_days: int = 7,
+    id_col: str = "snapshot_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Snapshot retention planning — the Iceberg ``expire_snapshots``
+    maintenance stage as a deterministic plan: every snapshot is labeled
+    ``kept_last`` (one of the newest ``retain_last``), ``kept_daily``
+    (the newest snapshot of its calendar day, for days within
+    ``daily_days`` days of the newest snapshot), or ``expire``.
+    Precedence kept_last > kept_daily > expire; ties break by id
+    descending, so the plan is total-order deterministic.
+
+    Scale shape: the snapshot LIST is metadata (one row per table
+    snapshot — thousands at most, like the file listing in
+    :func:`compaction_plan`), so the two unpartitioned windows here run
+    over a bounded control-plane table, never data — the documented
+    exception to the no-unpartitioned-window rule. The newest-ts anchor
+    rides a broadcast 1-row aggregate."""
+    from pyspark.sql import Window
+
+    if retain_last < 0 or daily_days < 0:
+        raise ValueError("retain_last and daily_days must be >= 0")
+    w_all = Window.orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    w_day = Window.partitionBy(F.to_date(ts_col)).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    anchor = snapshots.agg(F.max(ts_col).alias("_max_ts"))
+    ranked = (
+        snapshots.crossJoin(F.broadcast(anchor))
+        .withColumn("_rk", F.row_number().over(w_all))
+        .withColumn("_dk", F.row_number().over(w_day))
+        .withColumn(
+            "_recent_day",
+            F.datediff(F.to_date("_max_ts"), F.to_date(ts_col))
+            < F.lit(daily_days),
+        )
+    )
+    reason = (
+        F.when(F.col("_rk") <= retain_last, F.lit("kept_last"))
+        .when(
+            (F.col("_dk") == 1) & F.col("_recent_day"), F.lit("kept_daily")
+        )
+        .otherwise(F.lit("expire"))
+    )
+    return ranked.select(
+        F.col(id_col).cast("bigint").alias("snapshot_id"),
+        F.col(ts_col).alias("ts"),
+        reason.alias("reason"),
+    )

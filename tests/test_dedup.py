@@ -1341,3 +1341,37 @@ def test_stride_interleave_even_merge(spark):
 
     with _pytest.raises(ValueError):
         stride_interleave(df, "source", {"a": 0})
+
+
+def test_snapshot_expiry_plan_policy(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.layout import snapshot_expiry_plan
+
+    base = dt.datetime(2025, 6, 1, 0, 0, 0)
+    rows = []
+    sid = 0
+    # 10 days, 3 snapshots/day (08:00, 12:00, 20:00)
+    for d in range(10):
+        for h in (8, 12, 20):
+            rows.append((sid, base + dt.timedelta(days=d, hours=h)))
+            sid += 1
+    df = spark.createDataFrame(rows, "snapshot_id long, ts timestamp")
+    got = {
+        r.snapshot_id: r.reason
+        for r in snapshot_expiry_plan(df, retain_last=5, daily_days=7).collect()
+    }
+    # newest 5 by ts: ids 29,28,27,26,25
+    for i in (29, 28, 27, 26, 25):
+        assert got[i] == "kept_last", i
+    # newest-of-day within 7 days of the max (days 3..9): ids 11,14,...;
+    # day 9's newest (29) already kept_last; day 3's newest is id 11
+    assert got[11] == "kept_daily" and got[14] == "kept_daily"
+    # old days (0-2) and non-newest snapshots expire
+    assert got[2] == "expire" and got[0] == "expire" and got[12] == "expire"
+    # every snapshot labeled, exactly once
+    assert len(got) == 30
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_expiry_plan(df, retain_last=-1)
