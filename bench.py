@@ -294,6 +294,18 @@ CORPUS_QUERIES = (
     "ir_phrase",
     "pg_crawl_diff",
     "tx_bloom",
+    # round-4 late additions (perf visibility for the new operators; the
+    # heavy wg_host_features composition is excluded — its constituent
+    # trustrank/k-core costs are covered by wg_pagerank/wg_kcore)
+    "wg_kcore",
+    "pg_domain_quality",
+    "ev_seasonal",
+    "tx_compaction",
+    "tx_snapshot_expiry",
+    "dd_interleave",
+    "tx_classifier_eval",
+    "en_useragent",
+    "lf_ndjson",
 )
 
 
