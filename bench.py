@@ -467,7 +467,7 @@ def main() -> None:
             else [min(CPUS, NCPU)]
         )
 
-        def pair(lo: int, hi: int, best: dict) -> dict:
+        def pair(lo: int, hi: int, best: dict, matched_ok: bool = True) -> dict:
             # raw best-per-level: each level's fastest wall. Biased either
             # way under time-varying host slowdown — whichever level drew
             # the luckier window wins/loses the ratio, and the levels
@@ -501,6 +501,11 @@ def main() -> None:
             # ~1.02); heavy contention inflates the hi level somewhat
             # more, so a contended matched pair can read a few points
             # high — preferring the cleanest pair minimizes that.
+            # matched_ok=False for pairs whose intrinsic cross-level cpu
+            # inflation is LARGE (8→32 measures ~2× — the saturation
+            # decomposition in BASELINE.md): there, equal absolute cpu_s
+            # means very UNEQUAL box conditions and the match is invalid —
+            # only the calibrated 2→8 pair (intrinsic 1.018) may match.
             cand = [
                 (cl + ch, abs(cl / ch - 1.0), wl, wh, cl, ch)
                 for wl, cl in ((r["wall"], r.get("cpu_s"))
@@ -509,7 +514,7 @@ def main() -> None:
                 for wh, ch in ((r["wall"], r.get("cpu_s"))
                                for r in all_runs[hi])
                 if ch
-            ]
+            ] if matched_ok else []
             ok = [c for c in cand if c[1] <= 0.10]
             matched = min(ok) if ok else None
             if matched:
@@ -571,7 +576,7 @@ def main() -> None:
                 ),
             }
             if LEVEL_HI > LEVEL_MID and LEVEL_HI in best and ceil_s:
-                secondary = pair(LEVEL_MID, LEVEL_HI, best)
+                secondary = pair(LEVEL_MID, LEVEL_HI, best, matched_ok=False)
                 out["secondary_8_32"] = {
                     **secondary,
                     "cpu_ceiling_8_32": ceil_s,
@@ -648,12 +653,20 @@ def main() -> None:
         if RUN_SCALING and scaling is not None and ceil_o:
             ceil_post = _cpu_ceiling(LEVEL_LO, LEVEL_MID)
             scaling["cpu_ceiling_2_8_post"] = ceil_post
-            low = min(
-                ceil_o["ceiling_efficiency"],
-                ceil_post["ceiling_efficiency"],
+            # the ceiling probe is itself a sequential lo-then-hi ratio,
+            # so one sample can catch a slowdown window (observed 0.67)
+            # or overshoot 1.0 (observed 1.21) — the fair denominator for
+            # an efficiency that picks the healthiest matched pair is the
+            # box's BEST measured health, clamped at the physical 1.0
+            best_ceiling = min(
+                1.0,
+                max(
+                    ceil_o["ceiling_efficiency"],
+                    ceil_post["ceiling_efficiency"],
+                ),
             )
             scaling["efficiency_vs_ceiling"] = round(
-                scaling["efficiency"] / low, 3
+                scaling["efficiency"] / best_ceiling, 3
             )
             phase(
                 "post-children ceiling "

@@ -958,6 +958,114 @@ def snapshot_diff(
     )
 
 
+def scd2_history(
+    rows: DataFrame,
+    key_col: str = "url",
+    snap_col: str = "snap",
+    attr_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: a series of table
+    snapshots (one row per key per snapshot where the key exists) collapses
+    into validity intervals — one row per (key, version run) with
+    ``valid_from``/``valid_to`` snapshot bounds, ``is_current``, and the
+    version's attribute fingerprint. The lakehouse CDC-merge primitive
+    that turns crawl snapshots into a queryable history dimension:
+    :func:`snapshot_diff` answers "what changed between two snapshots",
+    this answers "what was true when" across the whole series.
+
+    Semantics (standard SCD2 with deletions): a new version interval opens
+    when a key first appears, when its attributes change, or when it
+    REAPPEARS after an absence (a gap in the key's snapshot sequence is a
+    delete + reinsert — two intervals, even if the attributes match).
+    ``valid_to`` is EXCLUSIVE: the snapshot at which the version stopped
+    being valid (the change or deletion snapshot) — NULL for versions
+    still live at the newest snapshot (``is_current``). Attributes are
+    fingerprinted null-safely (md5 over unit-separator-joined values,
+    engine-portable) so any attr width costs one scan-stage hash.
+
+    Scale shape: the snapshot DIM (distinct snapshot ids, thousands at
+    most) is the only unpartitioned window — bounded metadata, the same
+    documented exception as layout.snapshot_expiry_plan — and rides
+    broadcast joins both ways. The data path is exactly
+    aggregate.state_runs' shape: lag + running-sum windows and the final
+    (key, run) aggregate all share ONE hashpartitioning(key) exchange;
+    attribute bytes never shuffle (the fingerprint does)."""
+    from pyspark.sql import Window
+
+    if not attr_cols:
+        raise ValueError("attr_cols must name at least one column")
+    fp = md5_hex(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in attr_cols
+            ],
+        )
+    )
+    snaps = (
+        rows.select(F.col(snap_col).alias("_snap"))
+        .distinct()
+        .select(
+            "_snap",
+            F.row_number()
+            .over(Window.orderBy("_snap"))
+            .alias("_idx"),
+        )
+    )
+    pres = rows.select(
+        F.col(key_col).alias("_k"), F.col(snap_col).alias("_snap"),
+        fp.alias("_fp"),
+    ).join(F.broadcast(snaps), "_snap")
+    w = Window.partitionBy("_k").orderBy("_idx")
+    lagged = pres.select(
+        "_k",
+        "_idx",
+        "_fp",
+        F.lag("_idx").over(w).alias("_pidx"),
+        F.lag("_fp").over(w).alias("_pfp"),
+    )
+    new_run = (
+        F.col("_pidx").isNull()
+        | (F.col("_idx") != F.col("_pidx") + 1)
+        | (F.col("_fp") != F.col("_pfp"))
+    )
+    runs = lagged.select(
+        "_k",
+        "_idx",
+        "_fp",
+        F.sum(new_run.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_run"),
+    )
+    grouped = runs.groupBy("_k", "_run").agg(
+        F.min("_idx").alias("_first"),
+        F.max("_idx").alias("_last"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.min("_fp").alias("version_hash"),
+    )
+    max_idx = snaps.agg(F.max("_idx").alias("_max_idx"))
+    d_from = snaps.select(
+        F.col("_idx").alias("_first"), F.col("_snap").alias("valid_from")
+    )
+    d_to = snaps.select(
+        (F.col("_idx") - 1).alias("_last"), F.col("_snap").alias("valid_to")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(max_idx))
+        .join(F.broadcast(d_from), "_first")
+        .join(F.broadcast(d_to), "_last", "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "version_hash",
+            "valid_from",
+            "valid_to",
+            F.col("n_snapshots").cast("bigint").alias("n_snapshots"),
+            (F.col("_last") == F.col("_max_idx")).alias("is_current"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # line-level corpus dedup (boilerplate line removal)
 # ---------------------------------------------------------------------------

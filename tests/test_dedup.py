@@ -1375,3 +1375,54 @@ def test_snapshot_expiry_plan_policy(spark):
 
     with _pytest.raises(ValueError):
         snapshot_expiry_plan(df, retain_last=-1)
+
+
+def test_scd2_history_intervals(spark):
+    # snapshots 1..3: A unchanged throughout; B changes at 2; C deleted at 2
+    # and reappears at 3 with IDENTICAL attrs (gap => new interval); D only
+    # in 2 (closed, not current); E appears first at 3 (current)
+    rows = spark.createDataFrame(
+        [
+            ("A", 1, "a"), ("A", 2, "a"), ("A", 3, "a"),
+            ("B", 1, "b1"), ("B", 2, "b2"), ("B", 3, "b2"),
+            ("C", 1, "c"), ("C", 3, "c"),
+            ("D", 2, "d"),
+            ("E", 3, "e"),
+        ],
+        "url string, snap int, text string",
+    )
+    out = {
+        (r.url, r.valid_from): r
+        for r in dedup.scd2_history(rows).collect()
+    }
+    assert len(out) == 7
+    a = out[("A", 1)]
+    assert (a.valid_to, a.is_current, a.n_snapshots) == (None, True, 3)
+    b1, b2 = out[("B", 1)], out[("B", 2)]
+    assert (b1.valid_to, b1.is_current) == (2, False)
+    assert (b2.valid_to, b2.is_current) == (None, True)
+    assert b1.version_hash != b2.version_hash
+    c1, c3 = out[("C", 1)], out[("C", 3)]
+    assert (c1.valid_to, c1.is_current) == (2, False)  # gap closes at 2
+    assert (c3.valid_to, c3.is_current) == (None, True)
+    assert c1.version_hash == c3.version_hash  # same attrs, separate runs
+    d = out[("D", 2)]
+    assert (d.valid_to, d.is_current) == (3, False)
+    e = out[("E", 3)]
+    assert (e.valid_to, e.is_current) == (None, True)
+
+
+def test_scd2_history_null_attr_and_multi_attr(spark):
+    # NULL attribute values fingerprint null-safely: NULL -> 'x' is a
+    # version change, and two attr columns both feed the fingerprint
+    rows = spark.createDataFrame(
+        [("K", 1, None, "m"), ("K", 2, "x", "m"), ("K", 3, "x", "n")],
+        "url string, snap int, a string, b string",
+    )
+    out = sorted(
+        dedup.scd2_history(rows, attr_cols=("a", "b")).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.valid_from, r.valid_to) for r in out] == [
+        (1, 2), (2, 3), (3, None)
+    ]
