@@ -1066,6 +1066,48 @@ def scd2_history(
     )
 
 
+def apply_changes(
+    changes: DataFrame,
+    key_col: str = "url",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    attr_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """CDC merge-apply: collapse an append-only changelog (one row per
+    change: key, monotone sequence, op ∈ {upsert, ``delete_op``}, attrs)
+    into the CURRENT-state snapshot — the MERGE INTO primitive that keeps
+    a serving table in step with a crawl/ingest change stream, and the
+    forward complement of :func:`scd2_history` (that builds the full
+    validity history; this materializes only "what is true now").
+
+    Keys whose LATEST change is a delete are absent from the output; all
+    others carry the attrs of their latest upsert plus ``last_seq`` and
+    ``n_changes`` audit columns. ``(key, seq)`` must be unique — the
+    changelog's own ordering contract; ties would make "latest"
+    undefined in any engine.
+
+    Scale shape: ONE hash aggregate — ``max_by(struct(attrs), seq)``
+    gets partial (map-side) aggregation, so each executor pre-collapses
+    its local changes and only one surviving struct per (partition, key)
+    ever shuffles. That beats the textbook row_number()-window form,
+    which must shuffle EVERY changelog row to its key's reducer before
+    ranking — at 10^12 changes the difference is the whole job. No
+    window, no second exchange; the final filter is free."""
+    keep = [F.col(op_col).alias("_op")] + [F.col(c).alias(c) for c in attr_cols]
+    last = changes.groupBy(F.col(key_col).alias("_k")).agg(
+        F.max_by(F.struct(*keep), F.col(seq_col)).alias("_last"),
+        F.max(seq_col).cast("bigint").alias("last_seq"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return last.filter(F.col("_last._op") != delete_op).select(
+        F.col("_k").alias(key_col),
+        *[F.col(f"_last.{c}").alias(c) for c in attr_cols],
+        "last_seq",
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # line-level corpus dedup (boilerplate line removal)
 # ---------------------------------------------------------------------------

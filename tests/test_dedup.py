@@ -1426,3 +1426,65 @@ def test_scd2_history_null_attr_and_multi_attr(spark):
     assert [(r.valid_from, r.valid_to) for r in out] == [
         (1, 2), (2, 3), (3, None)
     ]
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (CDC merge-apply)
+# ---------------------------------------------------------------------------
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, seq bigint, op string, text string"
+    )
+
+
+def test_apply_changes_latest_upsert_wins(spark):
+    out = dedup.apply_changes(
+        _changes(
+            spark,
+            [
+                ("a", 1, "upsert", "v1"),
+                ("a", 2, "upsert", "v2"),
+                ("b", 1, "upsert", "only"),
+            ],
+        )
+    ).collect()
+    state = {r.url: (r.text, r.last_seq, r.n_changes) for r in out}
+    assert state == {"a": ("v2", 2, 2), "b": ("only", 1, 1)}
+
+
+def test_apply_changes_delete_last_removes_key(spark):
+    out = dedup.apply_changes(
+        _changes(
+            spark,
+            [
+                ("a", 1, "upsert", "v1"),
+                ("a", 2, "delete", ""),
+                ("b", 1, "delete", ""),
+            ],
+        )
+    ).collect()
+    assert out == []
+
+
+def test_apply_changes_reinsert_after_delete(spark):
+    [r] = dedup.apply_changes(
+        _changes(
+            spark,
+            [
+                ("a", 1, "upsert", "v1"),
+                ("a", 2, "delete", ""),
+                ("a", 3, "upsert", "back"),
+            ],
+        )
+    ).collect()
+    assert (r.url, r.text, r.last_seq, r.n_changes) == ("a", "back", 3, 3)
+
+
+def test_apply_changes_plan_is_single_partial_aggregate(spark):
+    # the merge must be ONE hash aggregate with map-side partial agg —
+    # no window (which would shuffle every raw change before ranking)
+    df = dedup.apply_changes(_changes(spark, [("a", 1, "upsert", "v1")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
