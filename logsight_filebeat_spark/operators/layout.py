@@ -21,7 +21,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -101,6 +101,60 @@ def cluster_by_zorder(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED (and optionally bucket-sorted)
+    managed parquet table: every row lands in bucket
+    ``hash(key) mod n_buckets``, recorded in table metadata. This is the
+    pay-once layout move for 100-TB fact tables that are joined or
+    aggregated on the same key every day: the shuffle happens at WRITE
+    time, once, and every subsequent join/agg on ``key`` between
+    same-bucketed tables needs NO exchange at all (see
+    :func:`bucketed_join`). Iceberg/Delta expose the identical idea as a
+    ``bucket(n, key)`` partition transform / clustered write.
+
+    ``n_buckets`` sizes the parallelism floor of every downstream
+    bucket-local join — pick ~corpus_bytes / 1 GB at scale, and keep it
+    IDENTICAL across the tables that join (Spark only elides the
+    exchange when bucket counts match; a 2:1 ratio falls back to
+    shuffling the smaller side)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Co-located join of two tables bucketed on the join key with equal
+    bucket counts: each task sort-merges bucket i of the left against
+    bucket i of the right, straight off the scan — ZERO Exchange in the
+    plan (pinned by tests/test_plans_explain.py). At 10^12 rows this
+    turns the daily fact-to-fact join from the cluster's biggest shuffle
+    into an embarrassingly parallel per-bucket merge.
+
+    The MERGE hint keeps the planner honest: without it a small-enough
+    side would broadcast — also shuffle-free, but that plan stops
+    working the day the side outgrows the driver, while the bucketed
+    merge is size-oblivious. Bucket-SORTED tables (``sort_cols`` at
+    write) additionally drop the per-task Sort when each bucket holds
+    one file."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("MERGE").join(right, on, how)
 
 
 def compaction_plan(

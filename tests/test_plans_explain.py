@@ -752,3 +752,37 @@ def test_rate_limit_shuffles_once_on_key_bucket(spark):
     # shuffle — at 10^12 rows the exchange moves at most limit rows per
     # (key, bucket, input partition), not the corpus
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange_on_the_join(spark):
+    """Both sides bucketed on the join key with equal bucket counts ⇒ the
+    SortMergeJoin consumes the scans directly: no Exchange below the join
+    (the write-side shuffle already co-located the buckets). The only
+    exchange allowed in the aggregate query is the downstream groupBy's."""
+    from logsight_filebeat_spark.operators.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 11).alias("v")
+    )
+    write_bucketed(left, "lsfb_test_bl", "k", 4, sort_cols=("k",))
+    write_bucketed(right, "lsfb_test_br", "k", 4, sort_cols=("k",))
+    j = bucketed_join(spark, "lsfb_test_bl", "lsfb_test_br", "k")
+    assert j.count() == 1000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # the join itself is fully co-located
+
+    # an aggregate ON THE BUCKET KEY also rides the bucketing: zero
+    # exchanges end to end
+    agg_on_key = (
+        spark.table("lsfb_test_bl").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg_on_key.count()
+    plan_k = agg_on_key._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_k
