@@ -41,6 +41,7 @@ from logsight_filebeat_spark.functions.caching import (
     iteration_barrier,
     track_persist,
 )
+from logsight_filebeat_spark.functions.hashing import seeded_hash32
 from logsight_filebeat_spark.operators.enrich import url_host
 
 # the href shape the synthetic fixture (sources/pages.py) and any
@@ -839,3 +840,70 @@ def host_features(
         F.sum("in_core").alias("core3_pages"),
         F.sum("trust_scaled").alias("trust_sum"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic hash-driven random walks — the sampling primitive
+    under DeepWalk/node2vec-style graph embeddings and neighborhood
+    audits, with the same reproducibility contract as every sampler here:
+    step t from node u moves to the ``hash(seed:t, u) mod outdeg(u)``-th
+    neighbor (neighbors ranked by dst), so a walk is a pure function of
+    (seed, start) — stable under reruns, partitionings, and engines, and
+    oracle-checkable (the portable-md5 hash family, never an RNG). Walks
+    start at every edge source (or ``starts``' ``node`` column) and stop
+    early at dangling nodes. Returns (start, step, node) path rows,
+    step 0..walk_len.
+
+    Scale shape: the neighbor index is ONE ranking window per src (web
+    out-degree is page-bounded — hundreds, not millions — so the window
+    is flat) materialized once behind an iteration barrier and reused by
+    every step; each step is then one hash equi-join on the current node
+    keyed exactly like the index, with the mod-pick as the join's
+    residual filter. State stays one row per live walk: O(walk_len)
+    joins over never-growing inputs, no lineage doubling."""
+    from pyspark.sql import Window
+
+    from logsight_filebeat_spark.functions.caching import track_persist
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    w = Window.partitionBy("_s").orderBy("_d")
+    idx = track_persist(
+        e.select(
+            "_s",
+            "_d",
+            (F.row_number().over(w) - 1).cast("bigint").alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("_s")).alias("_deg"),
+        )
+    )
+    if starts is None:
+        starts = e.select(F.col("_s").alias("node")).distinct()
+    state = starts.select(
+        F.col("node").alias("start"), F.col("node").alias("node")
+    )
+    steps = [
+        state.select(
+            "start", F.lit(0).cast("bigint").alias("step"), "node"
+        )
+    ]
+    for t in range(1, walk_len + 1):
+        pick = seeded_hash32(F.col("node"), f"{seed}{t}") % F.col("_deg")
+        state = (
+            state.join(idx, (F.col("node") == F.col("_s")) & (F.col("_rn") == pick))
+            .select("start", F.col("_d").alias("node"))
+        )
+        steps.append(
+            state.select(
+                "start", F.lit(t).cast("bigint").alias("step"), "node"
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

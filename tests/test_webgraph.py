@@ -502,3 +502,40 @@ def test_host_features_farm_vs_hub(spark):
     assert {k: tuple(v) for k, v in got2.items()} == {
         k: tuple(v) for k, v in got.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# random_walks
+# ---------------------------------------------------------------------------
+
+def test_random_walks_deterministic_and_bounded(spark):
+    from logsight_filebeat_spark.operators.webgraph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src string, dst string",
+    )
+    out1 = sorted(map(tuple, random_walks(edges, walk_len=3).collect()))
+    out2 = sorted(map(tuple, random_walks(edges, walk_len=3).collect()))
+    assert out1 == out2  # pure function of (seed, start)
+    starts = {r[0] for r in out1}
+    assert starts == {"a", "b", "c", "d"}  # every edge source walks
+    # step 0 is the start itself
+    assert all(n == s for s, t, n in out1 if t == 0)
+    # every emitted step follows an actual edge from the previous node
+    e = {(s, d) for s, d in [("a","b"),("a","c"),("b","c"),("c","a"),("d","a")]}
+    bywalk = {}
+    for s, t, n in out1:
+        bywalk.setdefault(s, {})[t] = n
+    for s, path in bywalk.items():
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in e
+
+
+def test_random_walks_stop_at_dangling(spark):
+    from logsight_filebeat_spark.operators.webgraph import random_walks
+
+    # b has no out-edges: walks reaching b stop there
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = sorted(map(tuple, random_walks(edges, walk_len=4).collect()))
+    assert out == [("a", 0, "a"), ("a", 1, "b")]
