@@ -338,6 +338,13 @@ CORPUS_QUERIES = (
     "tx_classifier_eval",
     "en_useragent",
     "lf_ndjson",
+    # round-4 final additions: lakehouse CDC/history, co-located bucketed
+    # join, frontier scheduling, deterministic graph walks
+    "pg_scd2",
+    "pg_cdc_apply",
+    "tx_bucketed_join",
+    "pg_frontier",
+    "wg_walks",
 )
 
 

@@ -1108,6 +1108,54 @@ def apply_changes(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct word
+    n-grams whose first corpus occurrence (by ascending id — ingestion
+    order) is this document. The marginal-contribution signal dedup
+    thresholds can't see: a page can be no near-dup of any single page
+    yet contribute nothing new (novelty ~0, all its phrasing seen
+    piecemeal elsewhere), and curricula/retention policies order on
+    exactly this (keep high-novelty docs, down-sample echoes).
+
+    Exact, not sketched: first-occurrence is min(id) per gram — one hash
+    aggregate over the shingle inverted index, one equi-join back on the
+    gram, one per-doc aggregate. All three shuffles key on gram or id;
+    gram frequencies are Zipfian but min() partial-aggregates map-side,
+    so the hot grams collapse before the exchange. Docs with fewer than
+    ``n`` tokens report (0, 0, 0.0).
+
+    Returns (id, n_grams, n_novel, novelty)."""
+    inv = shingle_table(df, text_col, id_col, n)
+    first = inv.groupBy("shingle").agg(F.min("id").alias("_first"))
+    per = (
+        inv.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col("id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.coalesce(
+                F.round(F.col("n_novel") / F.col("n_grams"), 6), F.lit(0.0)
+            ).alias("novelty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # line-level corpus dedup (boilerplate line removal)
 # ---------------------------------------------------------------------------

@@ -1488,3 +1488,27 @@ def test_apply_changes_plan_is_single_partial_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Exchange") <= 1
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_first_doc_owns_everything(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),       # grams: abc, bcd — all first
+            (2, "alpha beta gamma delta"),       # exact echo: novelty 0
+            (3, "alpha beta gamma NEW tail here"),  # mixes seen + new grams
+            (4, "xs"),                           # < n tokens: (0, 0, 0.0)
+        ],
+    )
+    out = {r.id: (r.n_grams, r.n_novel, r.novelty) for r in
+           dedup.ngram_novelty(df, n=3).collect()}
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+    n_grams, n_novel, nov = out[3]
+    assert n_grams == 4 and 0 < n_novel < 4
+    assert nov == round(n_novel / n_grams, 6)
