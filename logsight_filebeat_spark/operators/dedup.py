@@ -1235,3 +1235,69 @@ def line_dedup(
         .withColumn(text_col, F.coalesce(F.col("_new_text"), F.lit("")))
         .drop("id", "_new_text", "_n_kept")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_words: int = 16,
+    seed: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking (the backup/dedup-storage primitive, word
+    granularity): a chunk boundary falls AFTER every token whose portable
+    hash ≡ 0 (mod ``avg_words``), so boundaries depend only on local
+    content — an edit reflows its own chunk and the cut points resync
+    immediately after, unlike fixed-size chunking where one insertion
+    shifts every later chunk. Chunk hashes feed delta storage and
+    cross-snapshot dedup of a recrawled corpus: unchanged page regions
+    re-produce identical chunk hashes even when the page around them
+    moved. Expected chunk length is ``avg_words`` tokens (geometric).
+
+    Returns (id, chunk_idx, n_words, chunk_hash) — one row per chunk.
+
+    Scale shape: tokenize + posexplode in the scan, ONE window partitioned
+    by doc (per-doc sequential, doc-length-bounded — the multiline-fold
+    shape), one (doc, chunk) hash aggregate. Chunk text never leaves its
+    doc's partition; only 16-byte hashes shuffle if the caller aggregates
+    further. Deterministic and engine-portable: the boundary hash is the
+    md5 family, never an RNG."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    boundary = (seeded_hash32(F.col("tok"), seed) % avg_words == 0).cast("int")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(boundary).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("chunk_idx"),
+    )
+    return (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            md5_hex(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )

@@ -1512,3 +1512,29 @@ def test_ngram_novelty_first_doc_owns_everything(spark):
     n_grams, n_novel, nov = out[3]
     assert n_grams == 4 and 0 < n_novel < 4
     assert nov == round(n_novel / n_grams, 6)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks (content-defined chunking)
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunks_cover_and_resync(spark):
+    base = "one two three four five six seven eight nine ten " * 5
+    edited = "INSERTED " + base  # one-token prefix edit
+    df = _docs(spark, [(1, base), (2, edited)])
+    out = dedup.cdc_chunks(df, avg_words=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append((r.chunk_idx, r.n_words, r.chunk_hash))
+    # chunks tile the doc: word counts sum to token count, idx contiguous 0..k
+    for doc_id, text in [(1, base), (2, edited)]:
+        chunks = sorted(by_doc[doc_id])
+        assert sum(n for _, n, _ in chunks) == len(text.split())
+        assert [c for c, _, _ in chunks] == list(range(len(chunks)))
+    # content-defined: after the edit's own chunk, hashes resync — the
+    # edited doc shares all but at most one of the base doc's chunk hashes
+    h1 = [h for _, _, h in sorted(by_doc[1])]
+    h2 = [h for _, _, h in sorted(by_doc[2])]
+    assert len(set(h1) - set(h2)) <= 1
+    # repeated content produces repeated chunk hashes (the dedup signal)
+    assert len(set(h1)) < len(h1)
