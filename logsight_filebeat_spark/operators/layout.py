@@ -280,3 +280,29 @@ def snapshot_expiry_plan(
         F.col(ts_col).alias("ts"),
         reason.alias("reason"),
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Write a fact table hive-partitioned on ``part_col`` (one directory
+    per value — the warc_ts day/hour layout every crawl store uses).
+    Partitioning is the other half of the layout story next to
+    :func:`write_bucketed`: bucketing kills the JOIN shuffle, partition
+    directories kill the SCAN. A static predicate on ``part_col`` prunes
+    at plan time; and — the part that needs no code at all — a JOIN
+    against a filtered dimension prunes at RUNTIME via dynamic partition
+    pruning: Spark broadcasts the dim, collects its distinct partition
+    keys, and the fact scan reads only matching directories
+    (``dynamicpruningexpression`` in the scan's PartitionFilters —
+    plan-pinned in tests/test_plans_explain.py). At 10^12 rows ÷ ~10^3
+    daily partitions, a 5-day dim join reads 0.5% of the corpus instead
+    of 100%.
+
+    Keep partition cardinality bounded (days/hours/langs, never urls):
+    10^5+ directories drown the driver in file listing — that's what
+    bucketing is for."""
+    df.write.mode(mode).partitionBy(part_col).parquet(path)

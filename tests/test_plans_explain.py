@@ -786,3 +786,33 @@ def test_bucketed_join_has_no_exchange_on_the_join(spark):
     agg_on_key.count()
     plan_k = agg_on_key._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_k
+
+
+def test_partitioned_fact_join_prunes_dynamically(spark):
+    """A join against a filtered dim must reach the partitioned fact scan
+    as a dynamicpruningexpression PartitionFilter — Spark reads only the
+    dim's partitions at runtime, no query-side pruning code."""
+    import os
+    import tempfile
+
+    from logsight_filebeat_spark.operators.layout import write_partitioned
+
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 10).alias("day"), (F.col("id") * 3 % 7).alias("v")
+    )
+    path = os.path.join(tempfile.gettempdir(), "lsfb_test_dpp")
+    write_partitioned(fact, path, "day")
+    dim = spark.createDataFrame(
+        [(d, "keep" if d in (2, 4) else "drop") for d in range(10)],
+        "day long, tag string",
+    )
+    j = (
+        spark.read.parquet(path)
+        .join(F.broadcast(dim.filter(F.col("tag") == "keep")), "day")
+        .groupBy("tag")
+        .agg(F.sum("v").alias("sv"))
+    )
+    [row] = j.collect()
+    assert row.sv == sum((i * 3 % 7) for i in range(2000) if i % 10 in (2, 4))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
