@@ -768,3 +768,69 @@ def stride_interleave(
     return out.withColumn(
         "interleave_key", key.cast("bigint")
     ).drop("_m")
+
+
+# Poisson(1) cumulative probabilities e^-1 · Σ 1/j! for j ≤ k — shared
+# verbatim with the DuckDB oracle builder so replicate counts match exactly
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_reps: int = 50,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap over a metric column — THE distributed bootstrap
+    (resampling 10^12 rows with replacement is impossible, but each row's
+    replicate multiplicity in a bootstrap resample is ~Poisson(1), and
+    those are independent per row): row i enters replicate r with weight
+    k drawn by inverting the Poisson(1) CDF at the row's deterministic
+    hash-uniform u(seed, r, i). Like every sampler here the draw is a
+    pure function of (seed, rep, id) — reruns, partitionings, and engines
+    agree on every weight, so the oracle re-derives the full resample.
+
+    Returns one row per replicate: (rep, n_eff = Σk, mean = Σk·x / Σk,
+    rounded 1e-6). Downstream, the spread of the ``n_reps`` means IS the
+    sampling distribution of the metric — percentile CIs, std errors —
+    the uncertainty statement a 100-TB quality dashboard needs next to
+    every point estimate.
+
+    Scale shape: one ``explode(sequence(0, n_reps-1))`` fan-out (bounded:
+    ×n_reps, not ×rows) + ONE hash aggregate keyed on rep; the weight is
+    a codegen'd when-chain, no UDF, no window, no second pass. Weights
+    ≥ 6 (probability 8·10^-5 under Poisson(1)) clamp to 6 — identically
+    in both engines, so the clamp is invisible to verification."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("rep")
+    rows = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+        rep,
+    )
+    u = (
+        seeded_hash32(
+            F.concat_ws(":", F.col("rep").cast("string"), F.col("_id")), seed
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    k = F.lit(6)
+    for j in range(len(POISSON1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(POISSON1_CDF[j]), F.lit(j)).otherwise(k)
+    return (
+        rows.withColumn("_k", k.cast("bigint"))
+        .groupBy("rep")
+        .agg(
+            F.sum("_k").alias("n_eff"),
+            F.round(
+                F.sum(F.col("_k") * F.col("_x")) / F.sum("_k"), 6
+            ).alias("mean"),
+        )
+    )

@@ -1538,3 +1538,27 @@ def test_cdc_chunks_cover_and_resync(spark):
     assert len(set(h1) - set(h2)) <= 1
     # repeated content produces repeated chunk hashes (the dedup signal)
     assert len(set(h1)) < len(h1)
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap
+# ---------------------------------------------------------------------------
+
+def test_poisson_bootstrap_is_deterministic_and_sane(spark):
+    from logsight_filebeat_spark.operators.sampling import poisson_bootstrap
+
+    df = _docs(spark, [(i, "x") for i in range(200)]).select(
+        "doc_id", (F.col("doc_id") % 10).cast("double").alias("v")
+    )
+    out1 = sorted(map(tuple, poisson_bootstrap(df, "v", n_reps=20).collect()))
+    out2 = sorted(map(tuple, poisson_bootstrap(df, "v", n_reps=20).collect()))
+    assert out1 == out2                      # pure function of (seed, rep, id)
+    assert len(out1) == 20
+    true_mean = sum(i % 10 for i in range(200)) / 200
+    means = [m for _, _, m in out1]
+    n_effs = [n for _, n, _ in out1]
+    # resample sizes concentrate around n (Poisson(1) multiplicities)
+    assert all(150 < n < 250 for n in n_effs)
+    # replicate means scatter AROUND the truth and are not all identical
+    assert min(means) < true_mean < max(means)
+    assert abs(sum(means) / len(means) - true_mean) < 0.5
