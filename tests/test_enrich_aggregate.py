@@ -828,3 +828,28 @@ def test_normalize_severity_aliases_numbers_unknowns(spark):
     assert tuple(got[2]) == (2, "critical")
     assert tuple(got[3]) == (5, "notice")
     assert got[4] is None and got[5] is None
+
+
+# ---------------------------------------------------------------------------
+# path_rollup
+# ---------------------------------------------------------------------------
+
+def test_path_rollup_builds_prefix_lattice(spark):
+    from logsight_filebeat_spark.operators.enrich import path_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x/y/z?q=1",),
+            ("https://a.com/x/y/w",),
+            ("https://a.com/x",),
+            ("https://b.com/",),          # zero segments: contributes nothing
+        ],
+        "url string",
+    )
+    out = {(r.host, r.depth, r.prefix): r.n_pages
+           for r in path_rollup(df, max_depth=3).collect()}
+    assert out[("a.com", 1, "/x")] == 3
+    assert out[("a.com", 2, "/x/y")] == 2
+    assert out[("a.com", 3, "/x/y/z")] == 1
+    assert out[("a.com", 3, "/x/y/w")] == 1
+    assert not any(h == "b.com" for h, _, _ in out)
