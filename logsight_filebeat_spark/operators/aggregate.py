@@ -827,3 +827,61 @@ def seasonal_anomalies(
         F.round(F.coalesce(ratio, F.lit(0.0)), 6).alias("ratio"),
         (F.coalesce(ratio, F.lit(0.0)) >= burst_ratio).alias("is_burst"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per key — the telemetry screen
+    that survives what breaks mean/stddev z-scores: one genuine spike
+    inflates a stddev enough to hide itself (masking), while the median
+    and the median-absolute-deviation have a 50% breakdown point. The
+    robust z is the Iglewicz–Hoban form 0.6745·|x−med|/MAD with the
+    conventional 3.5 cutoff.
+
+    Output: the flagged rows (key, id, value, med, mad, rz rounded 1e-6).
+    Degenerate keys where MAD = 0 (≥ half the values identical) get
+    rz = NULL and flag ANY deviation from the median — the standard
+    fallback, deterministic in both engines (the zero is exact: it comes
+    from identical input values, not arithmetic).
+
+    Scale shape: two :func:`grouped_quantiles` passes (medians of values,
+    then of deviations) — each shuffles one row per (key, distinct
+    value), never raw rows to one reducer; the per-key (med, mad) table
+    is dimension-sized and rides hash joins back onto the data (AQE
+    broadcasts it when small). No raw-value buffering anywhere."""
+    med = grouped_quantiles(df, key_col, val_col, {"med": 0.5}).select(
+        "key", "med"
+    )
+    dev = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(id_col).alias("id"),
+            F.col(val_col).cast("double").alias("value"),
+        )
+        .join(med, "key")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = grouped_quantiles(dev, "key", "adev", {"mad": 0.5}).select(
+        "key", "mad"
+    )
+    scored = dev.join(mad, "key").select(
+        "key",
+        "id",
+        "value",
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.lit(0.6745) * F.col("adev") / F.col("mad"), 6),
+        ).alias("rz"),
+        F.col("adev").alias("_adev"),
+    )
+    return scored.filter(
+        (F.col("rz") > threshold)
+        | ((F.col("mad") == 0) & (F.col("_adev") > 0))
+    ).drop("_adev")

@@ -853,3 +853,26 @@ def test_path_rollup_builds_prefix_lattice(spark):
     assert out[("a.com", 3, "/x/y/z")] == 1
     assert out[("a.com", 3, "/x/y/w")] == 1
     assert not any(h == "b.com" for h, _, _ in out)
+
+
+def test_robust_outliers_resist_masking(spark):
+    from logsight_filebeat_spark.operators.aggregate import robust_outliers
+
+    # 20 values at ~10 plus TWO huge spikes: a stddev z-score would be
+    # dragged up by the spikes themselves; median/MAD flags exactly them
+    rows = [("k", i, 10.0 + (i % 3) * 0.1) for i in range(20)]
+    rows += [("k", 100, 500.0), ("k", 101, 900.0)]
+    df = spark.createDataFrame(rows, "key string, id bigint, v double")
+    out = robust_outliers(df, "key", "v", "id")
+    flagged = {r.id for r in out.collect()}
+    assert flagged == {100, 101}
+
+
+def test_robust_outliers_mad_zero_fallback(spark):
+    from logsight_filebeat_spark.operators.aggregate import robust_outliers
+
+    # all-but-one identical: MAD = 0, any deviation flags, rz is NULL
+    rows = [("k", i, 5.0) for i in range(10)] + [("k", 99, 5.1)]
+    df = spark.createDataFrame(rows, "key string, id bigint, v double")
+    [r] = robust_outliers(df, "key", "v", "id").collect()
+    assert r.id == 99 and r.mad == 0.0 and r.rz is None
