@@ -57,7 +57,7 @@ _ROUND_CHANGED = [
     # round 4 late additions + iteration-barrier plan changes (newest
     # first: the window is the first 50 entries, so order here is the
     # priority order)
-    "ev_outliers", "pg_path_rollup", "tx_bootstrap", "pg_dpp", "dd_cdc_chunks", "dd_novelty", "wg_walks", "pg_frontier", "tx_bucketed_join", "pg_cdc_apply", "pg_scd2",
+    "pg_mirrors", "ev_outliers", "pg_path_rollup", "tx_bootstrap", "pg_dpp", "dd_cdc_chunks", "dd_novelty", "wg_walks", "pg_frontier", "tx_bucketed_join", "pg_cdc_apply", "pg_scd2",
     "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson", "st_ndjson",
     "tx_compaction", "tx_snapshot_expiry", "ev_seasonal", "wg_host_features",
     "dd_interleave",

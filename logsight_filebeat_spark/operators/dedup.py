@@ -1301,3 +1301,73 @@ def cdc_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+def mirror_candidates(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_hosts_per_hash: int | None = 100,
+) -> DataFrame:
+    """Mirror-site detection — host PAIRS whose page-content sets overlap:
+    Jaccard over each host's set of distinct page content hashes. The
+    host-level dual of document near-dup: CDNs, country mirrors, and
+    scraper farms re-serve the same corpus under many hosts, and a
+    crawler that doesn't collapse them re-crawls (and a trainer re-trains
+    on) the same site N times. Returns (host_a, host_b, common_pages,
+    jaccard) for pairs at or above ``threshold``, host_a < host_b.
+
+    Scale shape: pages collapse to DISTINCT (host, content-hash) in one
+    aggregate — the self-join operates on site fingerprints, never pages.
+    The join is equi on the hash, and ``max_hosts_per_hash`` caps its
+    fan-out exactly like jaccard_pairs' hot-shingle cap: a hash served by
+    more than that many hosts (universal boilerplate — empty pages, SPA
+    shells) is dropped from the universe before pairing, bounding work at
+    candidates × cap while real mirror signals (hashes shared by FEW
+    hosts) survive. Set sizes are recounted over the surviving universe,
+    keeping the measure a true Jaccard of the reduced sets."""
+    hp = (
+        df.select(
+            F.col(host_col).alias("host"),
+            md5_hex(F.col(text_col)).alias("_h"),
+        )
+        .distinct()
+    )
+    if max_hosts_per_hash is not None:
+        keep = (
+            hp.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_hf"))
+            .filter(F.col("_hf") <= max_hosts_per_hash)
+            .select("_h")
+        )
+        hp = hp.join(keep, ["_h"], "inner")
+    sizes = hp.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    hp = track_persist(hp.join(sizes, "host"))
+    a, b = hp.alias("a"), hp.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"),
+            F.col("b.host").alias("host_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common_pages"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("common_pages")
+                / (F.col("na") + F.col("nb") - F.col("common_pages")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("host_a", "host_b", F.col("common_pages").cast("bigint").alias("common_pages"), "jaccard")
+    )

@@ -1562,3 +1562,27 @@ def test_poisson_bootstrap_is_deterministic_and_sane(spark):
     # replicate means scatter AROUND the truth and are not all identical
     assert min(means) < true_mean < max(means)
     assert abs(sum(means) / len(means) - true_mean) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# mirror_candidates
+# ---------------------------------------------------------------------------
+
+def test_mirror_candidates_pairs_and_cap(spark):
+    rows = []
+    for i in range(10):
+        rows.append(("site-a", f"page {i}"))
+        rows.append(("mirror-a", f"page {i}"))          # full mirror of a
+    rows += [("site-b", f"other {i}") for i in range(10)]
+    # boilerplate page served by EVERY host: must be capped out, else it
+    # fabricates overlap between unrelated sites
+    for h in ("site-a", "mirror-a", "site-b"):
+        rows.append((h, "cookie banner"))
+    df = spark.createDataFrame(rows, "host string, text string")
+    out = dedup.mirror_candidates(
+        df, threshold=0.5, max_hosts_per_hash=2
+    ).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r.host_a, r.host_b) == ("mirror-a", "site-a")
+    assert r.common_pages == 10 and r.jaccard == 1.0
