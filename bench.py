@@ -345,6 +345,13 @@ CORPUS_QUERIES = (
     "tx_bucketed_join",
     "pg_frontier",
     "wg_walks",
+    "dd_novelty",
+    "dd_cdc_chunks",
+    "tx_bootstrap",
+    "pg_path_rollup",
+    "ev_outliers",
+    "pg_mirrors",
+    "pg_dpp",
 )
 
 
