@@ -885,3 +885,64 @@ def robust_outliers(
         (F.col("rz") > threshold)
         | ((F.col("mad") == 0) & (F.col("_adev") > 0))
     ).drop("_adev")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    h_tenths: int = 30,
+    densify: bool = True,
+) -> DataFrame:
+    """One-sided (upward) CUSUM change-point detection on per-key hourly
+    event rates — the sequential-analysis complement to the z-score /
+    EWMA anomaly suite: a z-score flags one loud hour, CUSUM accumulates
+    SMALL persistent drifts (a 15% error-rate creep spread over a day)
+    that never individually clear a spike threshold (Page 1954).
+
+    Statistic, in integers so it is bit-exact at any parallelism and
+    across engines (same integral fixed-point discipline as
+    :func:`~logsight_filebeat_spark.operators.webgraph.pagerank`): with
+    T = each key's hour count and ``total`` its event total, the scaled
+    residual of hour i is ``n_i·T − total`` (= T·(n_i − mean), exact).
+    C_i = its prefix sum; the classic recursive S_i = max(0, S_{i−1} + y_i)
+    collapses to the window form **S_i = C_i − min_{j≤i} C_j** — one
+    cumulative sum plus one running min, no recursion, no UDF. The alarm
+    fires when S_i exceeds h·mean·T ⇔ ``10·S_i > h_tenths·total``
+    (``h_tenths`` = threshold in tenths of the mean hourly rate, so the
+    whole decision stays integral).
+
+    Returns (key, hour, n, cusum_scaled, alarm) for every key-hour.
+
+    Scale shape: one hash aggregate to hourly counts (dimension-sized:
+    keys × hours), the optional zero-fill grid, two window passes over
+    the SAME per-key hour-ordered sort (Spark plans them as one
+    Exchange + one Sort), one broadcast-sized per-key totals join."""
+    from pyspark.sql import Window
+
+    hourly = _hourly_counts(df, key_col, ts_col, densify=densify)
+    totals = hourly.groupBy("key").agg(
+        F.sum("n").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_t"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        hourly.join(totals, ["key"])
+        .withColumn(
+            "_c",
+            F.sum(F.col("n") * F.col("_t") - F.col("_total")).over(w),
+        )
+        .withColumn("_cmin", F.min("_c").over(w))
+    )
+    s = F.col("_c") - F.col("_cmin")
+    return scored.select(
+        "key",
+        "hour",
+        "n",
+        s.cast("bigint").alias("cusum_scaled"),
+        (10 * s > F.lit(h_tenths) * F.col("_total")).alias("alarm"),
+    )

@@ -907,3 +907,93 @@ def random_walks(
     for s in steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: the minimum hop distance from any seed node to
+    every page reachable within ``max_depth`` hops — the crawl-depth /
+    seed-proximity feature classic quality priors are built on (pages far
+    from any trusted seed are disproportionately spam; TrustRank's
+    first-order cousin, but exact hops instead of damped mass).
+
+    ``seeds`` carries one ``node`` column. Returns (node, dist) with dist
+    = the FIRST round the node was reached (so min distance, seeds at 0).
+
+    Scale shape: textbook frontier BFS — per round ONE equi-join of the
+    (never-growing) frontier against edges on ``src``, one distinct on the
+    reached set, one anti-join against the visited set. Frontier and
+    visited both end each round at
+    :func:`~logsight_filebeat_spark.functions.caching.iteration_barrier`
+    (each is consumed twice next round: the join/anti-join AND the union),
+    so plan size stays O(1) per round and superseded rounds release. The
+    visited set carries 8-byte-ish url strings only — at 10^12 nodes it is
+    the same order as the rank table PageRank already persists per round.
+    Empty frontier short-circuits the remaining rounds (the aggregate runs
+    over just-materialized local blocks, same discipline as
+    :func:`resolve_chains`)."""
+    visited = iteration_barrier(
+        seeds.select(
+            F.col("node"), F.lit(0).cast("bigint").alias("dist")
+        ).distinct()
+    )
+    frontier = visited.select("node")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    for d in range(1, max_depth + 1):
+        reached = (
+            e.join(frontier.hint("SHUFFLE_HASH"), e["_s"] == frontier["node"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), ["node"], "left_anti")
+        )
+        frontier = iteration_barrier(reached)
+        if frontier.agg(F.count(F.lit(1)).alias("n")).first()["n"] == 0:
+            break
+        visited = iteration_barrier(
+            visited.unionByName(
+                frontier.select(
+                    "node", F.lit(d).cast("bigint").alias("dist")
+                )
+            )
+        )
+    return visited
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node edge reciprocity over the distinct directed edge list:
+    (node, n_out, n_recip, reciprocity) where n_recip counts out-edges
+    whose reverse edge also exists — the link-exchange / mutual-linking
+    spam signal (organic web linking is strongly asymmetric; link-farm
+    rings reciprocate near 100%).
+
+    Scale shape: ONE self-equi-join of the distinct edge list against its
+    reversal on the (src, dst) pair key (left_semi marks reciprocated
+    edges without widening rows), then ONE hash aggregate on src. No
+    pairwise forms, no windows; both sides shuffle on the same pair key."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    recip = e.join(rev, ["_s", "_d"], "left_semi").select(
+        "_s", F.lit(1).alias("_r")
+    )
+    return (
+        e.select("_s", F.lit(0).alias("_r"))
+        .unionByName(recip)
+        .groupBy(F.col("_s").alias("node"))
+        .agg(
+            F.sum(F.lit(1) - F.col("_r")).cast("bigint").alias("n_out"),
+            F.sum("_r").cast("bigint").alias("n_recip"),
+        )
+        .select(
+            "node",
+            "n_out",
+            "n_recip",
+            F.round(F.col("n_recip") / F.col("n_out"), 6).alias("reciprocity"),
+        )
+    )

@@ -876,3 +876,57 @@ def test_robust_outliers_mad_zero_fallback(spark):
     df = spark.createDataFrame(rows, "key string, id bigint, v double")
     [r] = robust_outliers(df, "key", "v", "id").collect()
     assert r.id == 99 and r.mad == 0.0 and r.rz is None
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoints
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_recursive_definition(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import (
+        cusum_changepoints,
+    )
+
+    # 12 quiet hours at 2/h then a persistent drift to 6/h — each drift
+    # hour is small, but CUSUM accumulates them into an alarm
+    counts = [2] * 12 + [6] * 6
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", base + dt.timedelta(hours=h), i)
+        for h, n in enumerate(counts)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, id int")
+    got = {
+        r["hour"].hour: (r["n"], r["cusum_scaled"], r["alarm"])
+        for r in cusum_changepoints(df, "event_type", "ts").collect()
+    }
+    # python reference: the classic recursion in the same scaled integers
+    t, total = len(counts), sum(counts)
+    s, expect = 0, {}
+    for h, n in enumerate(counts):
+        s = max(0, s + (n * t - total))
+        expect[h] = (n, s, 10 * s > 30 * total)
+    assert got == expect
+    assert any(a for _, _, a in got.values())  # drift does alarm
+    assert not got[5][2]  # quiet period does not
+
+
+def test_cusum_densifies_hour_gaps(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import (
+        cusum_changepoints,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # events at hours 0 and 3 only: hours 1-2 must appear with n=0
+    rows = [("k", base, 0), ("k", base + dt.timedelta(hours=3), 1)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, id int")
+    got = sorted(
+        (r["hour"].hour, r["n"])
+        for r in cusum_changepoints(df, "event_type", "ts").collect()
+    )
+    assert got == [(0, 1), (1, 0), (2, 0), (3, 1)]

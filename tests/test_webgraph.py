@@ -539,3 +539,53 @@ def test_random_walks_stop_at_dangling(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     out = sorted(map(tuple, random_walks(edges, walk_len=4).collect()))
     assert out == [("a", 0, "a"), ("a", 1, "b")]
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances / reciprocity
+# ---------------------------------------------------------------------------
+
+def test_bfs_min_distances(spark):
+    from logsight_filebeat_spark.operators.webgraph import bfs_distances
+
+    # a→b→c→d chain plus a shortcut a→c and a back-edge c→a: c must take
+    # dist 1 (shortcut, not the 2-hop chain), a stays 0 despite the cycle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = dict(bfs_distances(edges, seeds, max_depth=3).collect())
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_multi_source_and_early_stop(spark):
+    from logsight_filebeat_spark.operators.webgraph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("x", "b"), ("b", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+    # max_depth far beyond the graph: the empty frontier must short-circuit
+    got = dict(bfs_distances(edges, seeds, max_depth=10).collect())
+    assert got == {"a": 0, "x": 0, "b": 1, "y": 2}
+
+
+def test_reciprocity(spark):
+    from logsight_filebeat_spark.operators.webgraph import reciprocity
+
+    # a↔b mutual; a→c one-way; c→a closes the OTHER direction of a→c? no —
+    # include it so c's single out-edge IS reciprocated while a's c-edge is
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["n_out"], r["n_recip"], r["reciprocity"])
+        for r in reciprocity(edges).collect()
+    }
+    assert got == {
+        "a": (2, 2, 1.0),
+        "b": (2, 1, 0.5),
+        "c": (1, 1, 1.0),
+    }
