@@ -239,3 +239,42 @@ def chunk_tokens(
             "array<struct<idx:int,chunk_text:string,n_tokens:int>>"
         )
     )
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Terminal-punctuation-run count, floored at 1 (any non-empty text is
+    at least one sentence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Vowel-run syllable heuristic: each maximal [aeiouy] run counts as
+    one syllable — the standard cheap estimator under readability
+    formulas (exact syllabification needs a dictionary; the vowel-run
+    proxy is within a few percent on English prose and, critically here,
+    is a single RE2-able regex that runs in the scan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[aeiouyAEIOUY]+")).cast("bigint")
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease (Flesch 1948): 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), rounded to 1e-6 — the classic prose-
+    complexity quality signal (very low = legalese/boilerplate, very high
+    = fragment soup; curation gates trim both tails). NULL when the text
+    has no words. Pure codegen Columns, engine-portable double math (the
+    division order is pinned so a SQL oracle reproduces every bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = token_count(c).cast("double")
+    s = sentence_count(c).cast("double")
+    sy = syllable_count(c).cast("double")
+    return F.when(
+        w > 0,
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w),
+            6,
+        ),
+    )

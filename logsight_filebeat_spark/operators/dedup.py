@@ -1371,3 +1371,40 @@ def mirror_candidates(
         .filter(F.col("jaccard") >= threshold)
         .select("host_a", "host_b", F.col("common_pages").cast("bigint").alias("common_pages"), "jaccard")
     )
+
+
+def normalized_dedup_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Normalized exact dedup with a KEEP-BEST survivor rule: texts that
+    are identical after aggressive normalization (lowercase + whitespace
+    runs collapsed + trim) form one group, and the survivor is the
+    group's highest-``score_col`` member (doc id as the deterministic
+    tie-break) — the curation-grade variant of :func:`dedup_exact`, which
+    keeps min-id among BYTE-identical texts. Normalization catches the
+    trivial recrawl/mirror variants (case tweaks, reflowed whitespace)
+    byte-hashing misses, and keep-best retains the richest copy instead
+    of whichever crawled first.
+
+    Scale shape: identical to :func:`dedup_exact` — hash the normalized
+    text in the scan, ONE groupBy-min on the 16-byte hash (survivor
+    picked via a (−score, id) struct min: max score, then min id — an
+    aggregate, never a window sort), one semi-style equi-join back. Text
+    bytes shuffle once as hashes, never as payloads."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    keyed = df.withColumn("_h", md5_hex(norm))
+    keep = keyed.groupBy("_h").agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("s"), F.col(id_col).alias("i")
+            )
+        ).alias("_k")
+    )
+    return (
+        keyed.join(keep, ["_h"], "inner")
+        .filter(F.col(id_col) == F.col("_k.i"))
+        .drop("_h", "_k")
+    )

@@ -834,3 +834,37 @@ def poisson_bootstrap(
             ).alias("mean"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame, col: str, q_lo: float = 0.01, q_hi: float = 0.99
+) -> DataFrame:
+    """Winsorize a numeric column to its exact [q_lo, q_hi] quantiles —
+    the standard tail-clamp before any mean/variance-based corpus metric
+    or training-weight derivation (a handful of 100 MB outlier documents
+    otherwise own the average). Adds ``<col>_w`` = value clamped into the
+    two thresholds; all rows survive (contrast :func:`quantile_gate`,
+    which drops).
+
+    Scale shape: both thresholds come from :func:`quantile_threshold`'s
+    exact value-histogram construction (one hash aggregate + a window
+    over the bounded distinct-value table, never a data sort), then ride
+    a broadcast 1-row cross join; the clamp itself is a codegen'd
+    least/greatest in the scan projection."""
+    if not q_lo < q_hi:
+        raise ValueError(f"q_lo must be < q_hi, got {q_lo} >= {q_hi}")
+    lo = quantile_threshold(df, col, q_lo).select(
+        F.col("threshold").alias("_lo")
+    )
+    hi = quantile_threshold(df, col, q_hi).select(
+        F.col("threshold").alias("_hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .withColumn(
+            f"{col}_w",
+            F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

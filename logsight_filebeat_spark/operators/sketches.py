@@ -499,3 +499,67 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
             f" * {alpha}) div 1000000 as bigint)"
         ).alias("est_distinct")
     )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (Beyer et al. 2007):
+    one row (n_a, n_b, n_union_seen, kth_hash, union_est, n_both,
+    jaccard_est, inter_est) — distinct-union, Jaccard, and intersection
+    cardinality of the two ORIGINAL sets, answered from two k-row
+    sketches without rescanning either corpus. The dataset-card question
+    this serves at 100 TB: "how much does the new crawl's vocabulary /
+    url set / shingle space overlap the old one?" — per-slice sketches
+    are built once (:func:`kmv_by_group`), stored, and compared freely.
+
+    Estimators: the union's KMV sketch is exactly the k smallest of
+    A ∪ B (min-wise property), giving ``union_est`` via the usual
+    (k−1)·SPACE/kth rule (exact below k); ``jaccard_est`` is the fraction
+    of the union sketch's members present in BOTH input sketches (each
+    such member is a uniform sample of the union, so membership-in-both
+    is an unbiased Jaccard estimate); ``inter_est = n_both·union_est ÷
+    n_union_seen`` stays in integer arithmetic (never a float product),
+    so every value is bit-stable across engines.
+
+    Scale shape: inputs are ≤k rows each — everything here is
+    driver-light TakeOrdered + two broadcast joins + one 1-row aggregate;
+    the heavy lifting happened when the sketches were built."""
+    u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    marked = (
+        u.join(a.withColumn("_ina", F.lit(1)), ["h"], "left")
+        .join(b.withColumn("_inb", F.lit(1)), ["h"], "left")
+        .select(
+            "h",
+            (F.coalesce("_ina", F.lit(0)) * F.coalesce("_inb", F.lit(0))).alias(
+                "_both"
+            ),
+        )
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_seen"),
+        F.max("h").alias("kth_hash"),
+        F.sum("_both").cast("bigint").alias("n_both"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "n_union_seen",
+            "kth_hash",
+            F.when(F.col("n_union_seen") < k, F.col("n_union_seen"))
+            .otherwise(F.expr(f"{(k - 1) * KMV_SPACE}L div kth_hash"))
+            .cast("bigint")
+            .alias("union_est"),
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_union_seen"), 6).alias(
+                "jaccard_est"
+            ),
+        )
+        .withColumn(
+            "inter_est",
+            F.expr("n_both * union_est div n_union_seen").cast("bigint"),
+        )
+    )

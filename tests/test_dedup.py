@@ -1586,3 +1586,30 @@ def test_mirror_candidates_pairs_and_cap(spark):
     [r] = out
     assert (r.host_a, r.host_b) == ("mirror-a", "site-a")
     assert r.common_pages == 10 and r.jaccard == 1.0
+
+
+def test_normalized_dedup_best_groups_and_survivor(spark):
+    from logsight_filebeat_spark.operators.dedup import normalized_dedup_best
+
+    rows = [
+        (1, "Hello   World", 13),   # normalizes like 2 and 3
+        (2, "hello world", 11),
+        (3, "HELLO\nWORLD", 20),    # richest copy → survives
+        (4, "unrelated", 9),
+        (5, "hello world", 11),     # ties 2 on score → min id 2... but 3 wins the group anyway
+    ]
+    out = normalized_dedup_best(
+        spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [3, 4]
+
+
+def test_normalized_dedup_best_tie_breaks_min_id(spark):
+    from logsight_filebeat_spark.operators.dedup import normalized_dedup_best
+
+    rows = [(7, "a  b", 5), (2, "A B", 5)]
+    out = normalized_dedup_best(
+        spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]

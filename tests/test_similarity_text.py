@@ -383,3 +383,29 @@ def test_semantic_dedup_pairs_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_readability_formula(spark):
+    from logsight_filebeat_spark.functions.text import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("The cat sat. The dog ran!",), ("",), ("no terminal punctuation",)],
+        "t string",
+    )
+    rows = df.select(
+        token_count(F.col("t")).alias("w"),
+        sentence_count(F.col("t")).alias("s"),
+        syllable_count(F.col("t")).alias("sy"),
+        flesch_reading_ease(F.col("t")).alias("f"),
+    ).collect()
+    w, s, sy, f = rows[0]
+    assert (w, s, sy) == (6, 2, 6)
+    assert abs(f - round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)) < 1e-9
+    assert rows[1]["w"] == 0 and rows[1]["f"] is None  # empty → NULL score
+    assert rows[2]["s"] == 1  # sentence floor

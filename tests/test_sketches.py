@@ -607,3 +607,63 @@ def test_hll_rejects_bad_p(spark):
 
     with pytest.raises(ValueError):
         hll_registers(spark.range(1), "id", p=2)
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_ops / winsorize
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from logsight_filebeat_spark.operators.sketches import (
+        kmv_hashes,
+        kmv_set_ops,
+    )
+
+    # 30 and 25 values with 10 shared — well under k, so every estimate
+    # must be EXACT (sketches hold the full sets)
+    a_vals = [f"v{i}" for i in range(30)]
+    b_vals = [f"v{i}" for i in range(20, 45)]
+    a = kmv_hashes(spark.createDataFrame([(v,) for v in a_vals], "x string"), "x", k=256)
+    b = kmv_hashes(spark.createDataFrame([(v,) for v in b_vals], "x string"), "x", k=256)
+    r = kmv_set_ops(a, b, k=256).first()
+    assert (r["n_a"], r["n_b"]) == (30, 25)
+    assert r["n_union_seen"] == 45 and r["union_est"] == 45
+    assert r["n_both"] == 10 and r["inter_est"] == 10
+    assert abs(r["jaccard_est"] - round(10 / 45, 6)) < 1e-9
+
+
+def test_kmv_set_ops_estimator_branch(spark):
+    from logsight_filebeat_spark.operators.sketches import (
+        kmv_hashes,
+        kmv_set_ops,
+    )
+
+    # k=16 over 200/150 values sharing 100: estimates are approximate but
+    # must be deterministic and ordered sanely
+    a_vals = [f"v{i}" for i in range(200)]
+    b_vals = [f"v{i}" for i in range(100, 250)]
+    a = kmv_hashes(spark.createDataFrame([(v,) for v in a_vals], "x string"), "x", k=16)
+    b = kmv_hashes(spark.createDataFrame([(v,) for v in b_vals], "x string"), "x", k=16)
+    r1 = kmv_set_ops(a, b, k=16).first()
+    r2 = kmv_set_ops(a, b, k=16).first()
+    assert r1 == r2  # deterministic
+    assert r1["n_union_seen"] == 16
+    assert r1["union_est"] >= 16
+    assert 0.0 <= r1["jaccard_est"] <= 1.0
+    assert r1["inter_est"] <= r1["union_est"]
+
+
+def test_winsorize_clamps_exact_thresholds(spark):
+    from logsight_filebeat_spark.operators.sampling import winsorize
+
+    # values 1..100: p10 threshold = 10, p90 = 90 under the
+    # smallest-v-with-cum>=ceil(q*n) definition
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "v int")
+    got = {r["v"]: r["v_w"] for r in winsorize(df, "v", 0.10, 0.90).collect()}
+    assert got[1] == 10 and got[9] == 10 and got[10] == 10
+    assert got[11] == 11 and got[89] == 89
+    assert got[90] == 90 and got[95] == 90 and got[100] == 90
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
