@@ -352,6 +352,12 @@ CORPUS_QUERIES = (
     "ev_outliers",
     "pg_mirrors",
     "pg_dpp",
+    # round-4d additions: BFS seed distance, integral CUSUM, keep-best
+    # normalized dedup, recrawl budgeting
+    "wg_bfs",
+    "ev_cusum",
+    "dd_norm_best",
+    "pg_recrawl",
 )
 
 

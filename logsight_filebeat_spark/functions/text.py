@@ -278,3 +278,32 @@ def flesch_reading_ease(col: Column | str) -> Column:
             6,
         ),
     )
+
+
+def char_class_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits) over FIVE character classes — letters,
+    digits, whitespace, punctuation-ish symbols, other — the cheap
+    garbled-content detector: natural prose sits near the class mix of
+    its language, base64/minified/binary-pasted junk collapses toward
+    one or two classes (low entropy) or an unnaturally flat mix (high).
+    Class counts, not per-character distributions, so the whole thing is
+    five scan-side regexp counts and a FIXED-ARITY unrolled sum — the
+    float addition order is pinned by the expression tree itself, making
+    the value bit-stable across partitionings and engines (a per-char
+    distribution would need an FP-sum aggregate whose order floats).
+    Rounded to 1e-6; NULL on empty text."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = [
+        F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double"),
+        F.regexp_count(c, F.lit(r"[0-9]")).cast("double"),
+        F.regexp_count(c, F.lit(r"\s")).cast("double"),
+        F.regexp_count(c, F.lit(r"[!-/:-@\[-`{-~]")).cast("double"),
+    ]
+    total = F.length(c).cast("double")
+    other = total - counts[0] - counts[1] - counts[2] - counts[3]
+    terms = counts + [other]
+    ent = F.lit(0.0)
+    for t in terms:
+        p = t / total
+        ent = ent + F.when(t > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return F.when(total > 0, F.round(ent, 6))

@@ -98,3 +98,66 @@ def frontier_stats(schedule: DataFrame) -> DataFrame:
         F.max("fetch_at_s").alias("makespan_s"),
         F.max("delay_s").alias("delay_s"),
     )
+
+
+def recrawl_schedule(
+    diff: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    tiers: tuple[tuple[int, int, int], ...] = (
+        (1, 2, 24),      # change_rate ≥ 1/2  → daily
+        (1, 10, 168),    # change_rate ≥ 1/10 → weekly
+    ),
+    default_interval_h: int = 720,  # else monthly
+) -> DataFrame:
+    """Per-host recrawl scheduling from observed change rates — the
+    freshness side of crawl budgeting: hosts whose pages churn get short
+    revisit intervals, static archives get long ones (the classic
+    uniform-refresh vs proportional-refresh tradeoff; Cho &
+    Garcia-Molina 2003). Input is a snapshot diff's (host, status) rows
+    (status ∈ new/gone/changed/unchanged, e.g. from
+    :func:`~logsight_filebeat_spark.operators.dedup.snapshot_diff`
+    joined to its url's host).
+
+    Tier thresholds are RATIONAL (num, den, interval_h) triples compared
+    as ``den·n_changed ≥ num·n_observed`` — pure integer arithmetic, so
+    tier picks are bit-stable at any parallelism and engine. Returns one
+    row per host: (host, n_urls, n_observed, n_changed, change_rate,
+    interval_h, fetches_per_day) where fetches_per_day = n_urls·24 div
+    interval_h is the host's contribution to daily recrawl load and
+    change_rate = n_changed/n_observed rounded to 1e-6 (reporting only —
+    decisions never touch the float). n_observed counts urls seen in
+    BOTH snapshots (only those can witness change); new/gone rows count
+    toward n_urls but not the rate.
+
+    Scale shape: ONE hash aggregate on host (dimension-sized output),
+    conditional sums as codegen'd CASE columns; the tier pick is a
+    literal CASE chain — no joins, no windows."""
+    changed = (F.col(status_col) == "changed").cast("bigint")
+    observed = F.col(status_col).isin("changed", "unchanged").cast("bigint")
+    agg = diff.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.sum(observed).cast("bigint").alias("n_observed"),
+        F.sum(changed).cast("bigint").alias("n_changed"),
+    )
+    interval = F.lit(default_interval_h).cast("bigint")
+    for num, den, hours in reversed(tiers):
+        interval = F.when(
+            (F.col("n_observed") > 0)
+            & (F.lit(den) * F.col("n_changed") >= F.lit(num) * F.col("n_observed")),
+            F.lit(hours).cast("bigint"),
+        ).otherwise(interval)
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_observed",
+        "n_changed",
+        F.when(
+            F.col("n_observed") > 0,
+            F.round(F.col("n_changed") / F.col("n_observed"), 6),
+        ).alias("change_rate"),
+        interval.alias("interval_h"),
+    ).withColumn(
+        "fetches_per_day",
+        F.expr("n_urls * 24 div interval_h").cast("bigint"),
+    )

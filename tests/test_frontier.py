@@ -67,3 +67,35 @@ def test_frontier_stats_makespan(spark):
     )
     [r] = frontier_stats(sched).collect()
     assert (r.host, r.n_urls, r.makespan_s, r.delay_s) == ("h1", 2, 3, 3)
+
+
+def test_recrawl_schedule_tiers_and_load(spark):
+    from logsight_filebeat_spark.operators.frontier import recrawl_schedule
+
+    rows = (
+        # hot: 3 of 4 observed changed → daily (24h)
+        [("hot", "changed")] * 3 + [("hot", "unchanged")]
+        # warm: 1 of 8 observed changed → weekly (168h)
+        + [("warm", "changed")] + [("warm", "unchanged")] * 7
+        # cold: nothing changed → monthly; 'new'/'gone' don't count as observed
+        + [("cold", "unchanged")] * 2 + [("cold", "new"), ("cold", "gone")]
+        # fresh: only new urls, zero observed → monthly default
+        + [("fresh", "new")] * 3
+    )
+    df = spark.createDataFrame(rows, "host string, status string")
+    got = {
+        r["host"]: (
+            r["n_urls"], r["n_observed"], r["n_changed"],
+            r["interval_h"], r["fetches_per_day"],
+        )
+        for r in recrawl_schedule(df).collect()
+    }
+    assert got["hot"] == (4, 4, 3, 24, 4)       # 4*24/24
+    assert got["warm"] == (8, 8, 1, 168, 1)     # 8*24/168 = 1 (floor)
+    assert got["cold"] == (4, 2, 0, 720, 0)
+    assert got["fresh"] == (3, 0, 0, 720, 0)
+    # exact boundary: 1 of 2 observed = exactly 1/2 → daily
+    b = spark.createDataFrame(
+        [("b", "changed"), ("b", "unchanged")], "host string, status string"
+    )
+    assert recrawl_schedule(b).first()["interval_h"] == 24

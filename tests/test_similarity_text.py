@@ -409,3 +409,23 @@ def test_readability_formula(spark):
     assert abs(f - round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)) < 1e-9
     assert rows[1]["w"] == 0 and rows[1]["f"] is None  # empty → NULL score
     assert rows[2]["s"] == 1  # sentence floor
+
+
+def test_char_class_entropy(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from logsight_filebeat_spark.functions.text import char_class_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("a1 .\x07",), ("",)], "t string"
+    )
+    got = [
+        r["e"]
+        for r in df.select(char_class_entropy(F.col("t")).alias("e")).collect()
+    ]
+    assert got[0] == 0.0  # single class → zero entropy
+    # 5 chars, one per class → uniform over 5 → log2(5)
+    assert abs(got[1] - round(math.log2(5), 6)) < 1e-9
+    assert got[2] is None  # empty → NULL
