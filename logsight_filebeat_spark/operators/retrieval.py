@@ -479,3 +479,143 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def candidate_sims(
+    cand: DataFrame,
+    dtok: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed token-set Jaccard similarities between CANDIDATE pairs of
+    the same query — the redundancy signal :func:`mmr_rerank` consumes.
+    ``cand`` is (query_id, doc_id, …); ``dtok`` is the distinct
+    (doc_id, tok) inverted rows of candidate docs. Returns
+    (query_id, doc_id, other_id, sim); pairs with an EMPTY token
+    intersection are simply absent (the re-ranker reads absent as 0).
+
+    Scale shape: intersections come from ONE inverted-list self-join on
+    tok over candidate docs only (candidates are top-k-bounded per query,
+    so this is dimension-sized at any corpus size), one pair-keyed hash
+    aggregate, set sizes joined back; the per-query pair fan-out is then
+    an equi-join of the bounded candidate list with itself."""
+    sz = dtok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = dtok.select(F.col(id_col).alias("_da"), "tok")
+    b = dtok.select(F.col(id_col).alias("_db"), "tok")
+    isect = (
+        a.join(b, ["tok"])
+        .filter(F.col("_da") < F.col("_db"))
+        .groupBy("_da", "_db")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    j = (
+        isect.join(sz.select(F.col(id_col).alias("_da"), F.col("_n").alias("_na")), ["_da"])
+        .join(sz.select(F.col(id_col).alias("_db"), F.col("_n").alias("_nb")), ["_db"])
+        .select(
+            "_da",
+            "_db",
+            (F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))).alias("sim"),
+        )
+    )
+    jd = j.unionByName(
+        j.select(F.col("_db").alias("_da"), F.col("_da").alias("_db"), "sim")
+    )
+    pairs = cand.select(query_col, F.col(id_col).alias("_da")).join(
+        cand.select(query_col, F.col(id_col).alias("_db")), [query_col]
+    ).filter(F.col("_da") != F.col("_db"))
+    return pairs.join(jd, ["_da", "_db"]).select(
+        query_col,
+        F.col("_da").alias(id_col),
+        F.col("_db").alias("other_id"),
+        "sim",
+    )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily select k results per query maximizing
+    ``λ·rel − (1−λ)·max_sim(candidate, already-selected)`` — the
+    diversity-aware top-k that keeps near-duplicate hits from crowding a
+    result list (and, in the training-data setting, picks DIVERSE
+    few-shot exemplars / eval negatives instead of k copies of one
+    document). First pick is plain argmax relevance; ties break on doc
+    id everywhere, so the greedy trajectory is deterministic at any
+    parallelism and reproducible in a SQL oracle (all score arithmetic
+    is fixed-shape double expressions over integral inputs — no FP-sum
+    aggregates).
+
+    ``cand``: (query, doc, rel) — top-N-bounded per query upstream.
+    ``sims``: directed (query, doc, other, sim) from
+    :func:`candidate_sims`; absent pair ⇒ similarity 0. Returns
+    (query, doc, rank 1..k, mmr) with mmr rounded to 1e-6 for output.
+
+    Scale shape: after the bounded candidate retrieval everything here is
+    dimension-sized (queries × N candidates); each greedy round is one
+    anti-join + one max-aggregate + one argmax aggregate, with the
+    selected set behind an iteration barrier (it feeds three consumers
+    per round — O(1) plan growth, same discipline as resolve_chains)."""
+    from logsight_filebeat_spark.functions.caching import iteration_barrier
+
+    first = (
+        cand.groupBy(query_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(rel_col)).cast("double").alias("s"),
+                    F.col(id_col).alias("i"),
+                )
+            ).alias("_k")
+        )
+        .select(
+            query_col,
+            F.col("_k.i").alias(id_col),
+            F.lit(1).cast("int").alias("rank"),
+            F.round(F.lit(lam) * (-F.col("_k.s")), 6).alias("mmr"),
+        )
+    )
+    sel = iteration_barrier(first)
+    for r in range(2, k + 1):
+        rem = cand.join(
+            sel.select(query_col, id_col), [query_col, id_col], "left_anti"
+        )
+        ssel = (
+            sims.join(
+                sel.select(
+                    query_col, F.col(id_col).alias("other_id")
+                ),
+                [query_col, "other_id"],
+            )
+            .groupBy(query_col, id_col)
+            .agg(F.max("sim").alias("_ms"))
+        )
+        scored = rem.join(ssel, [query_col, id_col], "left").withColumn(
+            "_mmr",
+            F.lit(lam) * F.col(rel_col)
+            - F.lit(1.0 - lam) * F.coalesce("_ms", F.lit(0.0)),
+        )
+        pick = (
+            scored.groupBy(query_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_mmr")).alias("s"), F.col(id_col).alias("i")
+                    )
+                ).alias("_k")
+            )
+            .select(
+                query_col,
+                F.col("_k.i").alias(id_col),
+                F.lit(r).cast("int").alias("rank"),
+                F.round(-F.col("_k.s"), 6).alias("mmr"),
+            )
+        )
+        sel = iteration_barrier(sel.unionByName(pick))
+    return sel

@@ -363,3 +363,65 @@ def test_ndcg_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         ndcg_at_k(None, None, k=0)
+
+
+def test_mmr_rerank_greedy_trajectory(spark):
+    from logsight_filebeat_spark.operators.retrieval import mmr_rerank
+
+    # q: doc 1 rel 10, doc 2 rel 9 but near-dup of 1 (sim .9),
+    #    doc 3 rel 5 dissimilar → MMR (λ=.5) picks 1, then 3 over 2:
+    #    doc2: .5*9 - .5*.9 = 4.05 < doc3: .5*5 - 0 = 2.5? no — 4.05 > 2.5.
+    #    Use sim 0.9 → doc2 4.05 beats doc3 2.5; bump doc3 rel to 9:
+    #    doc2: 4.05 vs doc3: 4.5 → 3 wins; round 3 picks 2.
+    cand = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 9), ("q", 3, 9)],
+        "query_id string, doc_id bigint, rel bigint",
+    )
+    sims = spark.createDataFrame(
+        [("q", 2, 1, 0.9), ("q", 1, 2, 0.9)],
+        "query_id string, doc_id bigint, other_id bigint, sim double",
+    )
+    got = sorted(
+        (r["rank"], r["doc_id"], r["mmr"])
+        for r in mmr_rerank(cand, sims, k=3, lam=0.5).collect()
+    )
+    assert got == [(1, 1, 5.0), (2, 3, 4.5), (3, 2, 4.05)]
+
+
+def test_mmr_rerank_ties_break_on_doc_id_and_short_lists(spark):
+    from logsight_filebeat_spark.operators.retrieval import mmr_rerank
+
+    # two equal-rel docs, no sims → rank order by doc_id; k beyond the
+    # candidate count just stops emitting
+    cand = spark.createDataFrame(
+        [("q", 7, 3), ("q", 2, 3)],
+        "query_id string, doc_id bigint, rel bigint",
+    )
+    sims = spark.createDataFrame(
+        [], "query_id string, doc_id bigint, other_id bigint, sim double"
+    )
+    got = sorted(
+        (r["rank"], r["doc_id"])
+        for r in mmr_rerank(cand, sims, k=5, lam=0.5).collect()
+    )
+    assert got == [(1, 2), (2, 7)]
+
+
+def test_candidate_sims_jaccard(spark):
+    from logsight_filebeat_spark.operators.retrieval import candidate_sims
+
+    cand = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 1), ("q", 3, 1)],
+        "query_id string, doc_id bigint, rel bigint",
+    )
+    dtok = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "z")],
+        "doc_id bigint, tok string",
+    )
+    got = {
+        (r["doc_id"], r["other_id"]): r["sim"]
+        for r in candidate_sims(cand, dtok).collect()
+    }
+    # J(1,2) = |{b}| / |{a,b,c}| = 1/3, both directions; 3 shares nothing
+    assert set(got) == {(1, 2), (2, 1)}
+    assert abs(got[(1, 2)] - 1 / 3) < 1e-12 and got[(1, 2)] == got[(2, 1)]
