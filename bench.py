@@ -416,12 +416,20 @@ def main() -> None:
         # (JIT/cache-warm) like the pipeline children do
         for name in (() if QUICK else CORPUS_QUERIES):
             best = None
-            for _ in range(2):
-                t0 = time.time()
-                _noop(queries[name](spark, SF_DIR))
-                took = round(time.time() - t0, 3)
-                release_persisted()  # drop operator-pinned caches
-                best = took if best is None else min(best, took)
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    _noop(queries[name](spark, SF_DIR))
+                    took = round(time.time() - t0, 3)
+                    release_persisted()  # drop operator-pinned caches
+                    best = took if best is None else min(best, took)
+            except Exception as e:  # noqa: BLE001 — one broken query must
+                # not cost the whole artifact (observed: a stale managed-
+                # table location killed the run at warmup, leaving the
+                # driver's official bench record empty)
+                release_persisted()
+                print(f"{name}: FAILED ({e})", file=sys.stderr)
+                continue
             timings[name] = best
             print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
 

@@ -1408,3 +1408,66 @@ def normalized_dedup_best(
         .filter(F.col(id_col) == F.col("_k.i"))
         .drop("_h", "_k")
     )
+
+
+def bloom_gate_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 2048,
+    n_hashes: int = 4,
+    seed: str = "bloom:v1",
+) -> DataFrame:
+    """Bloom-gated incremental dedup — the at-scale shape of "is this
+    recrawled doc already in the corpus?": the old corpus collapses to a
+    ≤n_bits-row Bloom filter (built once, mergeable across shards/days),
+    every incoming doc probes it via a broadcast join, and ONLY the
+    maybe-present fraction pays the exact content-hash equi-join against
+    the old hash set. At 10^12 docs with a properly-sized filter that
+    kills ~99% of lookups before the shuffle; no-false-negatives means
+    no dup ever slips through the gate.
+
+    Returns (id, verdict): ``new_certain`` (filter said absent — never
+    joined), ``dup`` (exact hash present), ``new_fp`` (the filter's
+    deterministic false positives — the re-check cost, surfaced for
+    sizing audits). Routing happens BEFORE the join: certain-new rows
+    take a filter-only path.
+
+    Scale shape: old hashes → :func:`~logsight_filebeat_spark.operators.
+    sketches.bloom_bits` (positions explode in the scan, one ≤n_bits
+    distinct); probe = broadcast equi-join + count aggregate; exact
+    confirm = equi-join on 16-byte hashes over the maybe subset only."""
+    from logsight_filebeat_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    oldh = old.select(md5_hex(F.col(text_col)).alias("h")).distinct()
+    bloom = bloom_bits(oldh, "h", n_bits, n_hashes, seed)
+    newh = new.select(F.col(id_col), md5_hex(F.col(text_col)).alias("h"))
+    probe = bloom_probe(
+        bloom,
+        newh.select(F.col("h").alias("value")).distinct(),
+        "value",
+        n_bits,
+        n_hashes,
+        seed,
+    )
+    routed = newh.join(probe, newh["h"] == probe["value"]).select(
+        id_col, "h", "maybe_present"
+    )
+    certain = routed.filter(~F.col("maybe_present")).select(
+        id_col, F.lit("new_certain").alias("verdict")
+    )
+    confirmed = (
+        routed.filter(F.col("maybe_present"))
+        .join(oldh.withColumn("_dup", F.lit(1)), ["h"], "left")
+        .select(
+            id_col,
+            F.when(F.col("_dup").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("new_fp"))
+            .alias("verdict"),
+        )
+    )
+    return certain.unionByName(confirmed)

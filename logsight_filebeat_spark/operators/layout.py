@@ -126,6 +126,23 @@ def write_bucketed(
     IDENTICAL across the tables that join (Spark only elides the
     exchange when bucket counts match; a 2:1 ratio falls back to
     shuffling the smaller side)."""
+    # Idempotence across SESSIONS, not just within one: the default
+    # catalog is in-memory, so a previous process's managed-table files
+    # survive in the warehouse dir while the catalog entry does not —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS even under
+    # mode="overwrite" (observed: a stale spark-warehouse/ from an earlier
+    # bench run killed the next one at warmup). Drop the catalog entry AND
+    # clear the orphaned location through the Hadoop FS API (works on
+    # HDFS/object stores too, where a driver-side shutil cannot).
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    jsc = spark._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -816,3 +816,51 @@ def test_partitioned_fact_join_prunes_dynamically(spark):
     assert row.sv == sum((i * 3 % 7) for i in range(2000) if i % 10 in (2, 4))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_bfs_plan_is_leaf_per_round(spark):
+    """BFS's round body references frontier and visited multiple times
+    (edge join, anti-join, union, count probe) — the same lineage-growth
+    trap as resolve_chains/CC. The per-round barrier pins the returned
+    distances to a leaf LogicalRDD whose size is depth-independent."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.webgraph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(20)], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("u0",)], "node string")
+    try:
+        res = bfs_distances(edges, seeds, max_depth=6)
+        opt = res._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in opt
+        assert opt.count("Join") == 0
+        res12 = bfs_distances(edges, seeds, max_depth=12)
+        opt12 = res12._jdf.queryExecution().optimizedPlan().toString()
+        assert len(opt12) < 2 * len(opt) + 500  # depth-independent size
+    finally:
+        release_persisted()
+
+
+def test_mmr_plan_is_leaf_per_round(spark):
+    """Each MMR greedy round consumes the selected set three times
+    (anti-join, redundancy join, union); the barrier keeps the final
+    plan a leaf regardless of k."""
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("q", i, 100 - i) for i in range(30)],
+        "query_id string, doc_id bigint, rel bigint",
+    )
+    sims = spark.createDataFrame(
+        [("q", 0, 1, 0.5), ("q", 1, 0, 0.5)],
+        "query_id string, doc_id bigint, other_id bigint, sim double",
+    )
+    try:
+        res = mmr_rerank(cand, sims, k=6, lam=0.5)
+        opt = res._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in opt
+        assert opt.count("Join") == 0
+    finally:
+        release_persisted()
