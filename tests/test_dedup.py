@@ -1613,3 +1613,24 @@ def test_normalized_dedup_best_tie_breaks_min_id(spark):
         spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
     )
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_bloom_gate_dedup_verdicts_and_no_false_negatives(spark):
+    from logsight_filebeat_spark.operators.dedup import bloom_gate_dedup
+
+    old = spark.createDataFrame(
+        [(f"doc {i}",) for i in range(40)], "text string"
+    )
+    rows = [(i, f"doc {i}") for i in range(40)]          # all dups
+    rows += [(100 + i, f"fresh {i}") for i in range(20)]  # all new
+    new = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["verdict"] for r in bloom_gate_dedup(
+        old, new, n_bits=256, n_hashes=4  # undersized → some new_fp
+    ).collect()}
+    assert len(got) == 60
+    # NO false negatives: every true dup is verdict 'dup', never new_*
+    assert all(got[i] == "dup" for i in range(40))
+    # every fresh doc is new_certain or new_fp, never dup
+    fresh = {got[100 + i] for i in range(20)}
+    assert fresh <= {"new_certain", "new_fp"}
+    assert "new_certain" in fresh

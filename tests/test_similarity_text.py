@@ -429,3 +429,52 @@ def test_char_class_entropy(spark):
     # 5 chars, one per class → uniform over 5 → log2(5)
     assert abs(got[1] - round(math.log2(5), 6)) < 1e-9
     assert got[2] is None  # empty → NULL
+
+
+def test_pq_encode_and_adc_topk(spark):
+    from logsight_filebeat_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    # 3 well-separated directions in 4-dim space, m=2 subspaces of 2 dims
+    # keep every SUBVECTOR non-zero: cosine of a zero-norm slice is a
+    # division by zero under ANSI (same contract as the ivf/cosine suite)
+    base = {
+        0: [1.0, 0.1, 1.0, 0.1],
+        1: [0.1, 1.0, 0.1, 1.0],
+        2: [1.0, 1.0, 0.1, 0.1],
+    }
+    rows = []
+    for vid in range(12):
+        b = base[vid % 3]
+        rows.append((vid, [x + 0.01 * (vid // 3) for x in b]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_train(vecs, dim=4, m=2, ks=3, iterations=1)
+    assert {r["subspace"] for r in cb.select("subspace").distinct().collect()} == {0, 1}
+    codes = pq_encode(vecs, cb, dim=4, m=2)
+    assert codes.count() == 24  # one code per (vector, subspace)
+    out1 = sorted(map(tuple, pq_topk(vecs, vecs.filter("vec_id < 3"),
+                                     dim=4, m=2, ks=3, k=3,
+                                     iterations=1).collect()))
+    out2 = sorted(map(tuple, pq_topk(vecs, vecs.filter("vec_id < 3"),
+                                     dim=4, m=2, ks=3, k=3,
+                                     iterations=1).collect()))
+    assert out1 == out2  # deterministic end to end
+    by_q = {}
+    for qid, nid, cos, rank in out1:
+        assert qid != nid  # self excluded
+        by_q.setdefault(qid, []).append((rank, nid, cos))
+    for qid, lst in by_q.items():
+        lst.sort()
+        # same-direction vectors (vid ≡ qid mod 3) must fill the top ranks:
+        # the quantizer collapses each direction cluster to one centroid
+        top = [nid for _, nid, _ in lst[:3]]
+        same = [n for n in top if n % 3 == qid % 3]
+        assert len(same) >= 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_train(vecs, dim=5, m=2)
