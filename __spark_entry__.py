@@ -54,9 +54,14 @@ def _driver_verified() -> set[str]:
 # query needs a fresh driver verdict even if an old artifact covered the
 # previous behavior). Maintained per round.
 _ROUND_CHANGED = [
-    # round 4 late additions + iteration-barrier plan changes (newest
-    # first: the window is the first 50 entries, so order here is the
-    # priority order)
+    # round 4 final batch (newest first: the window is the first 50
+    # entries, so order here is the priority order): BFS/reciprocity/
+    # CUSUM/recrawl/winsorize/keep-best/KMV-ops/readability/entropy/MMR/
+    # bloom-gate/PQ, plus tx_bucketed_join's idempotent-write change
+    "ev_hll_sliding", "wg_bfs", "wg_recip", "ev_cusum", "pg_recrawl", "tx_winsorize",
+    "dd_norm_best", "tx_kmv_ops", "tx_readability", "tx_entropy",
+    "ir_mmr", "dd_bloom_gate", "ann_pq_topk",
+    # round 4 late additions + iteration-barrier plan changes
     "pg_mirrors", "ev_outliers", "pg_path_rollup", "tx_bootstrap", "pg_dpp", "dd_cdc_chunks", "dd_novelty", "wg_walks", "pg_frontier", "tx_bucketed_join", "pg_cdc_apply", "pg_scd2",
     "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson", "st_ndjson",
     "tx_compaction", "tx_snapshot_expiry", "ev_seasonal", "wg_host_features",

@@ -667,3 +667,39 @@ def test_winsorize_clamps_exact_thresholds(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_hll_sliding_matches_per_window_merge(spark):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_sliding,
+    )
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # hours 0,1,2,4 (hour 3 empty): values overlap across hours
+    data = {0: ["a", "b"], 1: ["b", "c"], 2: ["d"], 4: ["e"]}
+    rows = [
+        (base + dt.timedelta(hours=h), v)
+        for h, vs in data.items()
+        for v in vs
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+    got = {
+        r["hour"].hour: r["est_distinct"]
+        for r in hll_sliding(df, "v", "ts", trailing_h=3, p=8).collect()
+    }
+    assert set(got) == {0, 1, 2, 4}
+    # each window's sliding estimate must equal hll_estimate over the
+    # union of that window's values (merge-exactness of register max)
+    windows = {0: {"a", "b"}, 1: {"a", "b", "c"}, 2: {"a", "b", "c", "d"},
+               4: {"d", "e"}}  # hour 4 window spans hours 2..4
+    for h, vals in windows.items():
+        ref = spark.createDataFrame([(v,) for v in vals], "v string")
+        exp = hll_estimate(hll_registers(ref, "v", p=8), p=8).first()[
+            "est_distinct"
+        ]
+        assert got[h] == exp, (h, got[h], exp)
