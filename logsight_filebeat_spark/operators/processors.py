@@ -767,3 +767,28 @@ def compile_chain(
                 continue
             raise ValueError(f"unsupported processor type: {kind!r}")
     return out
+
+
+def decode_base64_field(
+    df: DataFrame,
+    field: str,
+    target: str = "decoded",
+    error_col: str = "_b64_error",
+) -> DataFrame:
+    """decode_base64_field processor: decode a base64 string column to its
+    utf-8 text.
+
+    Validity is decided by a STRICT structural check first — standard
+    alphabet, correct '=' padding, length ≡ 0 (mod 4) — because engine
+    built-ins disagree on garbage (Spark's unbase64 silently skips
+    non-alphabet bytes, DuckDB's from_base64 throws): only strings that
+    pass the check are decoded, so every engine decodes exactly the same
+    set and the byte-identical values. Invalid non-null input ⇒ NULL
+    target + ``error_col`` true (add_error_key semantics, same contract
+    as decode_json_fields). Pure codegen Columns in one stage."""
+    col = F.col(field)
+    valid = col.rlike(r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+    return df.withColumn(
+        target,
+        F.when(col.isNotNull() & valid, F.decode(F.unbase64(col), "UTF-8")),
+    ).withColumn(error_col, col.isNotNull() & ~valid)

@@ -480,3 +480,30 @@ def test_chain_new_processors(spark):
             [{"replace": [{"field": "csvish", "pattern": "a", "replacement": "b"}],
               "when": {"equals": {"id": 1}}}],
         )
+
+
+def test_decode_base64_field(spark):
+    import base64
+
+    from logsight_filebeat_spark.operators.processors import (
+        decode_base64_field,
+    )
+
+    enc = base64.b64encode("héllo wörld".encode()).decode()
+    rows = [
+        (1, enc),                 # valid, round-trips utf-8
+        (2, enc + "!"),           # corrupted → error, NULL
+        (3, "AAA"),               # bad length (3 mod 4) → error
+        (4, None),                # missing → no error, NULL
+        (5, ""),                  # empty string IS valid base64 of b""
+    ]
+    df = spark.createDataFrame(rows, "id int, line string")
+    got = {
+        r["id"]: (r["decoded"], r["_b64_error"])
+        for r in decode_base64_field(df, "line").collect()
+    }
+    assert got[1] == ("héllo wörld", False)
+    assert got[2] == (None, True)
+    assert got[3] == (None, True)
+    assert got[4] == (None, False)
+    assert got[5] == ("", False)
