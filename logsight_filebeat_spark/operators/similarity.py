@@ -721,3 +721,97 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 2,
+    ks: int = 8,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ — the production billion-scale ANN shape (FAISS's default
+    composition): a COARSE inverted-file index prunes candidates
+    (queries probe their ``nprobe`` nearest of ``n_centroids`` lists —
+    the partition-pruning half) and PRODUCT-QUANTIZED codes provide the
+    compressed scoring representation inside the probed lists (the
+    memory/bandwidth half). This variant scores against the PQ
+    reconstruction directly (no residual encoding — documented
+    simplification; residual-PQ adds a subtraction before
+    :func:`pq_encode` at the cost of per-list codebooks).
+
+    Returns (query_id, neighbor_id, adc_cosine, rank ≤ k), self
+    excluded, 1e-6-rounded cosine ties broken by neighbor id — the same
+    cross-engine determinism contract as every retriever here.
+
+    Scale shape: candidates = one equi-join of the assignment table
+    against the broadcast probe list (≈ nprobe/n_centroids of the corpus
+    per query); scoring joins the ≤ks-row PQ codebooks by broadcast and
+    reads CODES, not raw vectors; final rank is a per-query
+    candidate-only window."""
+    from pyspark.sql import Window
+
+    coarse = ivf_codebook(vectors, n_centroids, id_col, vec_col)
+    asg = ivf_assign(vectors, coarse, id_col, vec_col).select(
+        "id", "centroid_id"
+    )
+    cbs = pq_train(
+        vectors, dim, m=m, ks=ks, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(vectors, cbs, dim, m=m, id_col=id_col, vec_col=vec_col)
+    rec = None
+    for s in range(m):
+        part = (
+            codes.filter(F.col("subspace") == s)
+            .join(
+                F.broadcast(
+                    cbs.filter(F.col("subspace") == s).select(
+                        F.col("centroid_id").alias("code"),
+                        F.col("cv").alias(f"_c{s}"),
+                    )
+                ),
+                ["code"],
+            )
+            .select("id", f"_c{s}")
+        )
+        rec = part if rec is None else rec.join(part, ["id"])
+    recon = rec.select(
+        "id", F.concat(*[F.col(f"_c{s}") for s in range(m)]).alias("recon")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_qsim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("_qsim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = asg.join(probes, ["centroid_id"]).filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.join(recon, ["id"]).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("qv"), F.col("recon")), 6).alias(
+            "adc_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -478,3 +478,46 @@ def test_pq_encode_and_adc_topk(spark):
 
     with pytest.raises(ValueError):
         pq_train(vecs, dim=5, m=2)
+
+
+def test_ivfpq_prunes_to_probed_lists(spark):
+    from logsight_filebeat_spark.operators.similarity import (
+        ivf_assign,
+        ivf_codebook,
+        ivfpq_topk,
+    )
+
+    rows = []
+    for vid in range(16):
+        rows.append(
+            (vid, [1.0 + 0.05 * (vid % 4), 0.2 + 0.1 * (vid % 3),
+                   0.7 + 0.05 * vid, 1.0])
+        )
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = vecs.filter("vec_id < 2")
+    out1 = sorted(map(tuple, ivfpq_topk(
+        vecs, qs, dim=4, m=2, ks=3, k=3, n_centroids=4, nprobe=2,
+        iterations=1).collect()))
+    out2 = sorted(map(tuple, ivfpq_topk(
+        vecs, qs, dim=4, m=2, ks=3, k=3, n_centroids=4, nprobe=2,
+        iterations=1).collect()))
+    assert out1 == out2 and len(out1) > 0
+    # pruning property: every returned neighbor lives in one of its
+    # query's nprobe probed coarse lists
+    coarse = ivf_codebook(vecs, 4)
+    asg = {r["id"]: r["centroid_id"]
+           for r in ivf_assign(vecs, coarse).collect()}
+    from logsight_filebeat_spark.operators.dedup import cosine_sim
+    from pyspark.sql import functions as F
+    probes = (
+        qs.select(F.col("vec_id").alias("q"), F.col("embedding").cast("array<double>").alias("qv"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("s", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    ).collect()
+    by_q = {}
+    for r in probes:
+        by_q.setdefault(r["q"], []).append((-r["s"], r["centroid_id"]))
+    probed = {q: {c for _, c in sorted(v)[:2]} for q, v in by_q.items()}
+    for qid, nid, _, _ in out1:
+        assert qid != nid
+        assert asg[nid] in probed[qid]
