@@ -220,3 +220,31 @@ def resize_plan(
             F.lit(0.0).alias("scale"),
         )
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    feat_col: str = "feat",
+    out: str = "phash",
+    buckets: int = 16,
+) -> DataFrame:
+    """Average-hash style perceptual fingerprint from the byte-histogram
+    feature (:func:`with_byte_histogram`): bit b is set iff bucket b's
+    count exceeds the mean bucket count — the classic aHash construction
+    applied to the payload's byte-value distribution instead of decoded
+    pixels (the codec-free variant this container can verify; with a real
+    decoder the same construction runs over downsampled luma blocks).
+    Near-identical payloads land on equal fingerprints, so media near-dup
+    blocking becomes a hash equi-join — never a pairwise scan.
+
+    The compare is INTEGER-only (count·buckets > n_bytes ⇔ count > mean),
+    so fingerprints are bit-stable across engines; the bit-OR is a
+    fixed-arity unrolled sum of distinct powers of two."""
+    counts = F.col(feat_col).getField("bucket_counts")
+    n = F.col(feat_col).getField("n_bytes")
+    expr = F.lit(0)
+    for b in range(buckets):
+        expr = expr + F.when(
+            F.element_at(counts, b + 1) * buckets > n, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return df.withColumn(out, expr.cast("int"))

@@ -114,3 +114,23 @@ def test_frame_sample_indices_edges(spark):
         ).collect()
     }
     assert got == {1: [0], 25: [0, 10, 20], 10: [0], 11: [0, 10]}
+
+
+def test_perceptual_hash_bits(spark):
+    from logsight_filebeat_spark.operators.multimodal import (
+        perceptual_hash,
+        with_byte_histogram,
+    )
+
+    # payload of 4 bytes: 0x00 ×3, 0xF0 ×1 → bucket0 count 3, bucket15
+    # count 1; mean = 4/16 = 0.25 → bits set where count > 0.25: both
+    rows = [(1, bytes([0, 0, 0, 0xF0])), (2, bytes([0, 0, 0, 0xF0])),
+            (3, bytes([0x10] * 8))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in perceptual_hash(with_byte_histogram(df)).collect()
+    }
+    assert got[1] == (1 << 0) | (1 << 15)
+    assert got[1] == got[2]  # identical payloads collide (the blocking key)
+    assert got[3] == (1 << 1)  # all bytes in bucket 1
