@@ -906,8 +906,11 @@ def cusum_changepoints(
     T = each key's hour count and ``total`` its event total, the scaled
     residual of hour i is ``n_i·T − total`` (= T·(n_i − mean), exact).
     C_i = its prefix sum; the classic recursive S_i = max(0, S_{i−1} + y_i)
-    collapses to the window form **S_i = C_i − min_{j≤i} C_j** — one
-    cumulative sum plus one running min, no recursion, no UDF. The alarm
+    collapses to the window form **S_i = C_i − min(0, min_{j≤i} C_j)** —
+    one cumulative sum plus one running min, no recursion, no UDF. The
+    min MUST include the empty prefix (C_0 = 0): without it a series
+    whose first residual is positive under-reads S by that first
+    residual (caught by the hypothesis property test vs the recursion). The alarm
     fires when S_i exceeds h·mean·T ⇔ ``10·S_i > h_tenths·total``
     (``h_tenths`` = threshold in tenths of the mean hourly rate, so the
     whole decision stays integral).
@@ -938,7 +941,7 @@ def cusum_changepoints(
         )
         .withColumn("_cmin", F.min("_c").over(w))
     )
-    s = F.col("_c") - F.col("_cmin")
+    s = F.col("_c") - F.least(F.lit(0).cast("bigint"), F.col("_cmin"))
     return scored.select(
         "key",
         "hour",

@@ -364,3 +364,133 @@ def test_dissect_native_matches_python_model(spark, case):
     }
     for i, t in enumerate(texts):
         assert got[i] == _dissect_oracle(d, sep, t), (pattern, sep, t)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM: window form ≡ the classic recursion, any series
+# ---------------------------------------------------------------------------
+
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                    max_size=24)
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_window_form_equals_recursion(spark, counts):
+    import datetime as dt
+
+    from logsight_filebeat_spark.operators.aggregate import (
+        cusum_changepoints,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(hours=h), i)
+        for h, n in enumerate(counts)
+        for i in range(n)
+    ]
+    if not rows:  # all-zero series has no events to aggregate
+        return
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, i int")
+    got = {
+        r["hour"]: (r["n"], r["cusum_scaled"], r["alarm"])
+        for r in cusum_changepoints(df, "event_type", "ts").collect()
+    }
+    # python reference over the DENSIFIED series (first..last event hour)
+    lo = min(h for h, n in enumerate(counts) if n > 0)
+    hi = max(h for h, n in enumerate(counts) if n > 0)
+    dense = counts[lo : hi + 1]
+    t, total = len(dense), sum(dense)
+    s = 0
+    for off, n in enumerate(dense):
+        s = max(0, s + (n * t - total))
+        hour = base + dt.timedelta(hours=lo + off)
+        assert got[hour] == (n, s, 10 * s > 30 * total)
+    assert len(got) == len(dense)
+
+
+# ---------------------------------------------------------------------------
+# winsorize: thresholds match the numpy-free exact rank definition
+# ---------------------------------------------------------------------------
+
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=3,
+                  max_size=60),
+    qs=st.tuples(
+        st.floats(min_value=0.01, max_value=0.45),
+        st.floats(min_value=0.55, max_value=1.0),
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winsorize_matches_exact_rank_definition(spark, vals, qs):
+    import math
+
+    from logsight_filebeat_spark.operators.sampling import winsorize
+
+    q_lo, q_hi = qs
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        (r["v"], r["v_w"]) for r in winsorize(df, "v", q_lo, q_hi).collect()
+    ]
+    sv, n = sorted(vals), len(vals)
+
+    def thresh(q):
+        # smallest value whose cumulative count >= ceil(q*n)
+        need = math.ceil(q * n)
+        return sv[max(need, 1) - 1]
+
+    lo, hi = thresh(q_lo), thresh(q_hi)
+    for v, w in got:
+        assert w == min(max(v, lo), hi)
+
+
+# ---------------------------------------------------------------------------
+# BFS: min distances match a python BFS on any random digraph
+# ---------------------------------------------------------------------------
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1, max_size=40,
+    ),
+    n_seeds=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_matches_python_bfs(spark, edges, n_seeds):
+    from collections import deque
+
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.webgraph import bfs_distances
+
+    edges = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    seeds = nodes[:n_seeds]
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    max_depth = 4
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in sorted(adj.get(u, ())):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    try:
+        got = dict(
+            bfs_distances(
+                spark.createDataFrame(edges, "src string, dst string"),
+                spark.createDataFrame([(s,) for s in seeds], "node string"),
+                max_depth=max_depth,
+            ).collect()
+        )
+        assert got == dist
+    finally:
+        release_persisted()
