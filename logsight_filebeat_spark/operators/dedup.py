@@ -1471,3 +1471,39 @@ def bloom_gate_dedup(
         )
     )
     return certain.unionByName(confirmed)
+
+
+def soft_dedup_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "softdedup",
+) -> DataFrame:
+    """Frequency-PRESERVING soft dedup: instead of hard-keeping one copy
+    per duplicate cluster, every row survives independently with
+    probability 1/dup_count — each cluster contributes ONE copy in
+    expectation, but naturally-frequent content keeps a (stochastic,
+    bounded) representation advantage over singletons, the middle ground
+    between no-dedup (duplicates dominate training) and hard dedup
+    (frequency signal destroyed). The membership decision is the repo's
+    deterministic-sampler contract: ``hash(seed, id) mod dup_count == 0``
+    — a pure Column function of the row, stable under reruns,
+    partitionings, and engines (no RNG state).
+
+    Returns surviving rows plus their ``dup_count``. Scale shape: one
+    hash groupBy on the 16-byte content hash + one equi-join back — the
+    dedup_exact plan with the keep rule swapped from min-id to
+    hash-mod."""
+    keyed = df.withColumn("_h", md5_hex(F.col(text_col)))
+    counts = keyed.groupBy("_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_count")
+    )
+    return (
+        keyed.join(counts, ["_h"])
+        .filter(
+            seeded_hash32(F.col(id_col).cast("string"), seed)
+            % F.col("dup_count")
+            == 0
+        )
+        .drop("_h")
+    )

@@ -494,3 +494,118 @@ def test_bfs_matches_python_bfs(spark, edges, n_seeds):
         assert got == dist
     finally:
         release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# MMR: distributed greedy ≡ single-threaded greedy, any candidate set
+# ---------------------------------------------------------------------------
+
+@given(
+    rels=st.lists(st.integers(0, 9), min_size=1, max_size=8),
+    simpairs=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.integers(1, 99)),
+        max_size=10,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mmr_matches_python_greedy(spark, rels, simpairs):
+    from logsight_filebeat_spark.functions.caching import release_persisted
+    from logsight_filebeat_spark.operators.retrieval import mmr_rerank
+
+    n = len(rels)
+    cand = [(i, rels[i]) for i in range(n)]
+    sims = {}
+    for a, b, s in simpairs:
+        if a < n and b < n and a != b:
+            sims[(a, b)] = s / 100.0
+            sims[(b, a)] = s / 100.0
+    lam, k = 0.5, 4
+    # python greedy oracle
+    sel, remaining = [], dict(cand)
+    while remaining and len(sel) < k:
+        best = None
+        for i, r in sorted(remaining.items()):
+            ms = max((sims.get((i, j), 0.0) for j in sel), default=0.0)
+            score = lam * r - (1 - lam) * ms
+            if best is None or score > best[1]:
+                best = (i, score)
+        sel.append(best[0])
+        del remaining[best[0]]
+    cdf = spark.createDataFrame(
+        [("q", i, r) for i, r in cand],
+        "query_id string, doc_id bigint, rel bigint",
+    )
+    sdf = spark.createDataFrame(
+        [("q", a, b, v) for (a, b), v in sims.items()] or
+        [("_none", -1, -1, 0.0)],
+        "query_id string, doc_id bigint, other_id bigint, sim double",
+    )
+    try:
+        got = [
+            r["doc_id"]
+            for r in mmr_rerank(cdf, sdf, k=k, lam=lam)
+            .orderBy("rank").collect()
+        ]
+        assert got == sel
+    finally:
+        release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# KMV set ops: exact below k on any pair of random sets
+# ---------------------------------------------------------------------------
+
+@given(
+    a=st.sets(st.integers(0, 200), min_size=1, max_size=40),
+    b=st.sets(st.integers(0, 200), min_size=1, max_size=40),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_set_ops_exact_below_k_property(spark, a, b):
+    from logsight_filebeat_spark.operators.sketches import (
+        kmv_hashes,
+        kmv_set_ops,
+    )
+
+    da = spark.createDataFrame([(f"v{x}",) for x in a], "x string")
+    db = spark.createDataFrame([(f"v{x}",) for x in b], "x string")
+    r = kmv_set_ops(
+        kmv_hashes(da, "x", k=256), kmv_hashes(db, "x", k=256), k=256
+    ).first()
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["union_est"] == len(a | b)
+    assert r["inter_est"] == len(a & b)
+
+
+# ---------------------------------------------------------------------------
+# reciprocity: counts match a python model on any random digraph
+# ---------------------------------------------------------------------------
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_reciprocity_matches_python(spark, edges):
+    from logsight_filebeat_spark.operators.webgraph import reciprocity
+
+    e = sorted((f"n{a}", f"n{b}") for a, b in edges if a != b)
+    if not e:
+        return
+    eset = set(e)
+    exp = {}
+    for s, d in e:
+        n_out, n_rec = exp.get(s, (0, 0))
+        exp[s] = (n_out + 1, n_rec + ((d, s) in eset))
+    got = {
+        r["node"]: (r["n_out"], r["n_recip"])
+        for r in reciprocity(
+            spark.createDataFrame(e, "src string, dst string")
+        ).collect()
+    }
+    assert got == exp
