@@ -934,7 +934,9 @@ def cusum_changepoints(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scored = (
-        hourly.join(totals, ["key"])
+        # totals is one row per key — dimension-sized at any corpus scale;
+        # broadcast it so the join never reshuffles the (key × hour) grid
+        hourly.join(F.broadcast(totals), ["key"])
         .withColumn(
             "_c",
             F.sum(F.col("n") * F.col("_t") - F.col("_total")).over(w),
