@@ -88,3 +88,24 @@ def main_content(
         & (F.length(s["txt"]) * 100 >= s["raw"] * min_density_pct),
     )
     return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+
+
+def mojibake_signals(col):
+    """Tell-tale double-decode (UTF-8 read as Latin-1) sequence counts --
+    the ftfy-style mojibake detector: '\u00c3\u00a9'-class pairs
+    (\u00c3/\u00c2 followed by a Latin-1-continuation char) and the
+    '\u00e2\u0080\u0099'-family punctuation triples almost never occur
+    in clean prose but are exactly what a mis-decoded UTF-8 byte stream
+    renders as. Returns (n_pairs, n_punct) integer counts as a struct
+    Column -- pure scan-side regexp counts, no UDF; gate on
+    n_pairs + n_punct > 0 (or a rate) to route docs to an encoding-repair
+    pass instead of silently training on garbage."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = F.regexp_count(c, F.lit("[\u00c3\u00c2][\u00a0-\u00ff]"))
+    punct = F.regexp_count(c, F.lit("\u00e2\u0080[\u0090-\u00ff]"))
+    return F.struct(
+        pairs.cast("bigint").alias("n_pairs"),
+        punct.cast("bigint").alias("n_punct"),
+    )

@@ -871,3 +871,51 @@ def classifier_calibration(
         F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("recall"),
         F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("f1"),
     )
+
+
+def blockword_scores(
+    df: DataFrame,
+    lexicon: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 3,
+) -> DataFrame:
+    """Weighted content-blocklist gate — the C4/UT1-style "bad words"
+    filter next to the domain blocklist (enrich.filter_blocked_hosts):
+    ``lexicon`` is a (word, weight) table; every doc scores
+    Σ weight·occurrences over its lowercase tokens and ``blocked`` fires
+    at ``score ≥ threshold`` (severity-weighted so one strong term or
+    several mild ones both trip). All-integer arithmetic.
+
+    Scale shape: tokens explode in the scan and hit the BROADCAST lexicon
+    on a token equi-join — only matching tokens survive into the one
+    per-doc hash aggregate (the lexicon is dimension-sized; the corpus
+    never reshuffles on anything wider than doc_id). Docs with zero hits
+    ride a left join back, score 0."""
+    from logsight_filebeat_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    hits = (
+        toks.join(
+            F.broadcast(lexicon.select(F.col("word").alias("_tok"), "weight")),
+            ["_tok"],
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight").cast("bigint").alias("block_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("block_score", F.lit(0)).alias("block_score"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .withColumn("blocked", F.col("block_score") >= threshold)
+    )
