@@ -864,3 +864,32 @@ def test_mmr_plan_is_leaf_per_round(spark):
         assert opt.count("Join") == 0
     finally:
         release_persisted()
+
+
+def test_write_bucketed_idempotent_over_stale_location(spark):
+    """Cross-SESSION idempotence: the default catalog is in-memory, so a
+    previous process's managed-table files survive in the warehouse dir
+    while the catalog entry does not — saveAsTable used to die with
+    LOCATION_ALREADY_EXISTS (observed: a stale spark-warehouse/ killed a
+    full bench run at warmup). write_bucketed must clear the orphaned
+    location and succeed. Simulated here by dropping the CATALOG entry
+    while leaving the files on disk — exactly the state a new session
+    sees."""
+    import os
+
+    from logsight_filebeat_spark.operators.layout import write_bucketed
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)], "k long, v long")
+    write_bucketed(df, "lsfb_test_stale", "k", 4)
+    assert spark.table("lsfb_test_stale").count() == 20
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    loc = os.path.join(warehouse, "lsfb_test_stale")
+    # drop only the catalog entry, keep the files — the fresh-session state
+    spark.sql("DROP TABLE IF EXISTS lsfb_test_stale")
+    # DROP TABLE on a managed table removes files too; recreate the orphan
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-orphan.parquet"), "w") as fh:
+        fh.write("stale")
+    write_bucketed(df, "lsfb_test_stale", "k", 4)  # must not raise
+    assert spark.table("lsfb_test_stale").count() == 20
+    spark.sql("DROP TABLE IF EXISTS lsfb_test_stale")
