@@ -109,3 +109,21 @@ def mojibake_signals(col):
         pairs.cast("bigint").alias("n_pairs"),
         punct.cast("bigint").alias("n_punct"),
     )
+
+
+def pii_counts(col):
+    """Per-class PII occurrence counts (emails, IPv4s, phone numbers) as a
+    struct Column — the AUDIT side of :func:`redact_pii`: redaction
+    destroys the evidence, so compliance reporting needs the counts
+    BEFORE the rewrite (how much PII does each source/host leak, is a
+    crawl slice safe to release). Same regexes as the redactor, so the
+    report and the rewrite can never disagree about what counts as PII;
+    pure scan-side regexp counts."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(IPV4_RE)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
