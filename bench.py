@@ -358,6 +358,13 @@ CORPUS_QUERIES = (
     "ev_cusum",
     "dd_norm_best",
     "pg_recrawl",
+    # round-4e additions: quantized ANN, sliding sketch, curation gates
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ev_hll_sliding",
+    "dd_soft_dedup",
+    "tx_blockwords",
+    "mm_phash",
 )
 
 
