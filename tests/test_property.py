@@ -609,3 +609,67 @@ def test_reciprocity_matches_python(spark, edges):
         ).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: singletons always survive; survivors deterministic; every
+# cluster's survivor count matches the hash-mod rule exactly
+# ---------------------------------------------------------------------------
+
+@given(
+    texts=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_soft_dedup_matches_hash_mod_rule(spark, texts):
+    import hashlib
+
+    from logsight_filebeat_spark.operators.dedup import soft_dedup_sample
+
+    rows = [(i, f"text {t}") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(r["doc_id"] for r in soft_dedup_sample(df).collect())
+    from collections import Counter
+
+    counts = Counter(t for _, t in rows)
+
+    def h32(s):
+        return int(hashlib.md5(f"softdedup:{s}".encode()).hexdigest()[:8], 16)
+
+    exp = sorted(
+        i for i, t in rows if h32(str(i)) % counts[t] == 0
+    )
+    assert got == exp
+    # singletons (dup_count 1) always survive
+    singles = [i for i, t in rows if counts[t] == 1]
+    assert set(singles) <= set(got)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from([" ", "  ", "\t"]),
+                  st.booleans(), st.integers(0, 9)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalized_dedup_best_matches_python_model(spark, docs):
+    import re
+
+    from logsight_filebeat_spark.operators.dedup import normalized_dedup_best
+
+    rows = []
+    for i, (word, ws, up, score) in enumerate(docs):
+        t = f"word{word}{ws}tail"
+        rows.append((i, t.upper() if up else t, score))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars bigint"
+    )
+    got = sorted(r["doc_id"] for r in normalized_dedup_best(df).collect())
+    groups: dict[str, list] = {}
+    for i, t, sc in rows:
+        key = re.sub(r"\s+", " ", t.lower()).strip()
+        groups.setdefault(key, []).append((-sc, i))
+    exp = sorted(min(v)[1] for v in groups.values())
+    assert got == exp
