@@ -1507,3 +1507,45 @@ def soft_dedup_sample(
         )
         .drop("_h")
     )
+
+
+def lsh_band_curve(
+    spark,
+    num_hashes: int = 8,
+    sims: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9),
+) -> DataFrame:
+    """The LSH S-curve planning table: candidate probability
+    ``P = 1 − (1 − s^r)^b`` for every valid (bands b, rows r = k/b) split
+    of a ``num_hashes``-row MinHash signature, over a similarity grid
+    (``sims`` in tenths). This is how b and r are actually chosen before
+    a 100-TB dedup run — pick the split whose curve's steep section
+    brackets the target Jaccard threshold (≈ (1/b)^(1/r)), trading
+    false-candidate cost against recall. Pure generated-grid Column math
+    (fixed-shape double powers, rounded 1e-6) — no data touched; pairs
+    with :func:`minhash_lsh_pairs`, whose observed candidate rates
+    ``dd_lsh_eval`` then validates against this prediction.
+
+    Returns (bands, rows_per_band, sim, p_candidate, threshold)."""
+    splits = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    bands = spark.createDataFrame(splits, "bands int, rows_per_band int")
+    grid = spark.createDataFrame([(s,) for s in sims], "sim_tenths int")
+    s = F.col("sim_tenths") / F.lit(10.0)
+    return (
+        bands.crossJoin(grid)
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(s, 1).alias("sim"),
+            F.round(
+                1 - F.pow(1 - F.pow(s, F.col("rows_per_band")), F.col("bands")),
+                6,
+            ).alias("p_candidate"),
+            F.round(
+                F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 6
+            ).alias("threshold"),
+        )
+    )
