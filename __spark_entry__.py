@@ -58,7 +58,7 @@ _ROUND_CHANGED = [
     # entries, so order here is the priority order): BFS/reciprocity/
     # CUSUM/recrawl/winsorize/keep-best/KMV-ops/readability/entropy/MMR/
     # bloom-gate/PQ, plus tx_bucketed_join's idempotent-write change
-    "dd_lsh_curve", "tx_pii_audit", "tx_blockwords", "tx_mojibake", "dd_soft_dedup", "mm_phash", "ev_abtest", "ann_ivfpq_topk", "st_hll", "ir_prf", "op_base64", "st_bloom", "pg_mirror_families", "ev_hll_sliding", "wg_bfs", "wg_recip", "ev_cusum", "pg_recrawl", "tx_winsorize",
+    "wg_spam_mass", "ir_snippets", "dd_lsh_curve", "tx_pii_audit", "tx_blockwords", "tx_mojibake", "dd_soft_dedup", "mm_phash", "ev_abtest", "ann_ivfpq_topk", "st_hll", "ir_prf", "op_base64", "st_bloom", "pg_mirror_families", "ev_hll_sliding", "wg_bfs", "wg_recip", "ev_cusum", "pg_recrawl", "tx_winsorize",
     "dd_norm_best", "tx_kmv_ops", "tx_readability", "tx_entropy",
     "ir_mmr", "dd_bloom_gate", "ann_pq_topk",
     # round 4 late additions + iteration-barrier plan changes

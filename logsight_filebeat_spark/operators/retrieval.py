@@ -619,3 +619,62 @@ def mmr_rerank(
         )
         sel = iteration_barrier(sel.unionByName(pick))
     return sel
+
+
+def phrase_snippets(
+    docs: DataFrame,
+    phrases: DataFrame,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippets: for every exact-phrase occurrence found by
+    :func:`phrase_match`, the ±``window``-token passage around the FIRST
+    match — what a search UI (or a decontamination reviewer) actually
+    reads next to a hit. Returns (query_id, doc_id, first_pos, snippet).
+
+    Scale shape: matches come from phrase_match's broadcast equi-join;
+    the snippet tokens come from ONE positional-postings equi-join on
+    doc_id with the window bounds as a residual range filter (≤
+     2·window + phrase_len rows survive per match BEFORE the aggregate),
+    then one ordered re-assembly per (query, doc) via the array_sort
+    struct trick — never a per-doc window sort of the corpus."""
+    q = phrases.select(
+        "query_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("phrase")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("_qlen"),
+    )
+    m = (
+        phrase_match(docs, phrases, text_col, id_col)
+        .join(F.broadcast(q), ["query_id"])
+        .select("query_id", id_col, "first_pos", "_qlen")
+    )
+    pos = doc_token_positions(docs, text_col, id_col)
+    toks = pos.join(m, [id_col]).filter(
+        (F.col("pos") >= F.col("first_pos") - window)
+        & (F.col("pos") <= F.col("first_pos") + F.col("_qlen") - 1 + window)
+    )
+    return (
+        toks.groupBy("query_id", id_col, "first_pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.col("first_pos").cast("bigint").alias("first_pos"),
+            "snippet",
+        )
+    )
