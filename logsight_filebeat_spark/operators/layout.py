@@ -135,14 +135,33 @@ def write_bucketed(
     # clear the orphaned location through the Hadoop FS API (works on
     # HDFS/object stores too, where a driver-side shutil cannot).
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    jvm = spark._jvm
-    jsc = spark._jsc
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    if mode == "overwrite":
+        # The pre-clean is part of OVERWRITE semantics only — append/
+        # ignore/error modes must never drop the table or touch its files.
+        # Resolve the real location from the catalog entry when one
+        # exists (db-qualified tables live at warehouse/<db>.db/<tbl>,
+        # and external tables live wherever LOCATION says — a
+        # hand-concatenated warehouse/<name> would miss both); fall back
+        # to the default managed location only for the orphaned-files
+        # case where the catalog has no entry at all.
+        location = None
+        if spark.catalog.tableExists(table):
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if r.col_name.strip() == "Location":
+                    location = r.data_type.strip()
+                    break
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if location is None:
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            parts = table.lower().split(".")
+            rel = "/".join([f"{p}.db" for p in parts[:-1]] + [parts[-1]])
+            location = f"{warehouse.rstrip('/')}/{rel}"
+        jvm = spark._jvm
+        jsc = spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(location)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
     if sort_cols:
         w = w.sortBy(*sort_cols)

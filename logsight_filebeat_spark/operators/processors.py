@@ -778,17 +778,35 @@ def decode_base64_field(
     """decode_base64_field processor: decode a base64 string column to its
     utf-8 text.
 
-    Validity is decided by a STRICT structural check first — standard
-    alphabet, correct '=' padding, length ≡ 0 (mod 4) — because engine
-    built-ins disagree on garbage (Spark's unbase64 silently skips
-    non-alphabet bytes, DuckDB's from_base64 throws): only strings that
-    pass the check are decoded, so every engine decodes exactly the same
-    set and the byte-identical values. Invalid non-null input ⇒ NULL
-    target + ``error_col`` true (add_error_key semantics, same contract
-    as decode_json_fields). Pure codegen Columns in one stage."""
+    Validity is decided in two layers, because engine built-ins disagree
+    on garbage (Spark's unbase64 silently skips non-alphabet bytes,
+    DuckDB's from_base64 throws; Spark's decode substitutes U+FFFD for
+    invalid UTF-8 while DuckDB raises):
+
+    1. STRICT structural check — standard alphabet, correct '=' padding,
+       length ≡ 0 (mod 4) — so every engine agrees on which strings are
+       well-formed base64 at all.
+    2. UTF-8 validity check on the decoded bytes (``is_valid_utf8`` over
+       the verbatim binary→string cast — a byte copy, never a transcode,
+       so it cannot throw). Base64-encoded BINARY payloads (images,
+       compressed blobs) therefore route to the error column instead of
+       hitting Spark 4's ANSI MALFORMED_CHARACTER_CODING (or, pre-ANSI,
+       silently gaining U+FFFD replacements DuckDB would have refused to
+       produce).
+
+    Invalid non-null input at either layer ⇒ NULL target + ``error_col``
+    true (add_error_key semantics, same contract as decode_json_fields).
+    Pure codegen Columns in one stage; ``decode`` only ever runs inside
+    the CASE branch whose guard proved the bytes valid."""
     col = F.col(field)
     valid = col.rlike(r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+    # NULL-mask BEFORE unbase64: Spark 4's decoder throws on malformed
+    # padding, and subexpression elimination can hoist unbase64 out of a
+    # CASE guard — feeding it NULL for invalid rows is the only layout
+    # that can never throw regardless of how codegen schedules it.
+    raw = F.unbase64(F.when(valid, col))
+    utf8_ok = F.coalesce(F.is_valid_utf8(raw.cast("string")), F.lit(False))
+    ok = col.isNotNull() & valid & utf8_ok
     return df.withColumn(
-        target,
-        F.when(col.isNotNull() & valid, F.decode(F.unbase64(col), "UTF-8")),
-    ).withColumn(error_col, col.isNotNull() & ~valid)
+        target, F.when(ok, F.decode(raw, "UTF-8"))
+    ).withColumn(error_col, col.isNotNull() & ~(valid & utf8_ok))

@@ -829,8 +829,13 @@ def poisson_bootstrap(
         .groupBy("rep")
         .agg(
             F.sum("_k").alias("n_eff"),
-            F.round(
-                F.sum(F.col("_k") * F.col("_x")) / F.sum("_k"), 6
+            # Explicit NULL contract for the degenerate replicate that
+            # draws weight 0 for every row (probability 0.368^n — real on
+            # tiny inputs): mean is NULL, never a 0/0 artifact, so
+            # downstream CI math must filter n_eff = 0 replicates.
+            F.when(
+                F.sum("_k") > 0,
+                F.round(F.sum(F.col("_k") * F.col("_x")) / F.sum("_k"), 6),
             ).alias("mean"),
         )
     )

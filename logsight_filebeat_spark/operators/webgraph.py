@@ -893,7 +893,10 @@ def random_walks(
         )
     ]
     for t in range(1, walk_len + 1):
-        pick = seeded_hash32(F.col("node"), f"{seed}{t}") % F.col("_deg")
+        # Delimited seed: f"{seed}:{t}" keeps the per-step hash family
+        # injective in (seed, step) — an undelimited concat would alias
+        # e.g. (seed='walk1', t=2) with (seed='walk', t=12).
+        pick = seeded_hash32(F.col("node"), f"{seed}:{t}") % F.col("_deg")
         state = (
             state.join(idx, (F.col("node") == F.col("_s")) & (F.col("_rn") == pick))
             .select("start", F.col("_d").alias("node"))

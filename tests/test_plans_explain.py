@@ -893,3 +893,38 @@ def test_write_bucketed_idempotent_over_stale_location(spark):
     write_bucketed(df, "lsfb_test_stale", "k", 4)  # must not raise
     assert spark.table("lsfb_test_stale").count() == 20
     spark.sql("DROP TABLE IF EXISTS lsfb_test_stale")
+
+
+def test_write_bucketed_append_preserves_existing_rows(spark):
+    """mode='append' must NOT run the overwrite pre-clean: appending to an
+    existing bucketed table keeps every prior row (the pre-clean used to
+    drop the table unconditionally — silent data destruction)."""
+    from logsight_filebeat_spark.operators.layout import write_bucketed
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(10)], "k long, v long")
+    write_bucketed(df, "lsfb_test_app", "k", 4)
+    write_bucketed(df, "lsfb_test_app", "k", 4, mode="append")
+    assert spark.table("lsfb_test_app").count() == 20
+    write_bucketed(df, "lsfb_test_app", "k", 4)  # overwrite resets
+    assert spark.table("lsfb_test_app").count() == 10
+    spark.sql("DROP TABLE IF EXISTS lsfb_test_app")
+
+
+def test_write_bucketed_db_qualified_table(spark):
+    """Overwriting a db-qualified table must clean the table's REAL
+    location (warehouse/<db>.db/<tbl>, resolved from the catalog), not a
+    hand-derived warehouse/<db.tbl> path — repeated overwrites land the
+    same row count with no stale-file leftovers."""
+    from logsight_filebeat_spark.operators.layout import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS lsfb_tdb")
+    try:
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "k long, v long"
+        )
+        write_bucketed(df, "lsfb_tdb.t1", "k", 2)
+        write_bucketed(df, "lsfb_tdb.t1", "k", 2)  # must not raise
+        assert spark.table("lsfb_tdb.t1").count() == 12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsfb_tdb.t1")
+        spark.sql("DROP DATABASE IF EXISTS lsfb_tdb")

@@ -355,7 +355,7 @@ def test_extract_array(spark):
     assert rows[2] == ("only", None)  # out-of-range ⇒ NULL, row survives
 
 
-def test_decode_base64_field(spark):
+def test_decode_base64_field_basic(spark):
     import base64
 
     from logsight_filebeat_spark.operators.processors import decode_base64_field
@@ -496,6 +496,9 @@ def test_decode_base64_field(spark):
         (3, "AAA"),               # bad length (3 mod 4) → error
         (4, None),                # missing → no error, NULL
         (5, ""),                  # empty string IS valid base64 of b""
+        # structurally valid base64 of NON-UTF-8 bytes: must error, not
+        # silently decode with U+FFFD substitutions (DuckDB would raise)
+        (6, base64.b64encode(b"\xff\xfe\x00binary").decode()),
     ]
     df = spark.createDataFrame(rows, "id int, line string")
     got = {
@@ -507,3 +510,4 @@ def test_decode_base64_field(spark):
     assert got[3] == (None, True)
     assert got[4] == (None, False)
     assert got[5] == ("", False)
+    assert got[6] == (None, True)
