@@ -54,36 +54,18 @@ def _driver_verified() -> set[str]:
 # query needs a fresh driver verdict even if an old artifact covered the
 # previous behavior). Maintained per round.
 _ROUND_CHANGED = [
-    # round 4 final batch (newest first: the window is the first 50
-    # entries, so order here is the priority order): BFS/reciprocity/
-    # CUSUM/recrawl/winsorize/keep-best/KMV-ops/readability/entropy/MMR/
-    # bloom-gate/PQ, plus tx_bucketed_join's idempotent-write change
-    "wg_spam_mass", "ir_snippets", "dd_lsh_curve", "tx_pii_audit", "tx_blockwords", "tx_mojibake", "dd_soft_dedup", "mm_phash", "ev_abtest", "ann_ivfpq_topk", "st_hll", "ir_prf", "op_base64", "st_bloom", "pg_mirror_families", "ev_hll_sliding", "wg_bfs", "wg_recip", "ev_cusum", "pg_recrawl", "tx_winsorize",
-    "dd_norm_best", "tx_kmv_ops", "tx_readability", "tx_entropy",
-    "ir_mmr", "dd_bloom_gate", "ann_pq_topk",
-    # round 4 late additions + iteration-barrier plan changes
-    "pg_mirrors", "ev_outliers", "pg_path_rollup", "tx_bootstrap", "pg_dpp", "dd_cdc_chunks", "dd_novelty", "wg_walks", "pg_frontier", "tx_bucketed_join", "pg_cdc_apply", "pg_scd2",
-    "wg_kcore", "st_ewma", "pg_domain_quality", "lf_ndjson", "st_ndjson",
-    "tx_compaction", "tx_snapshot_expiry", "ev_seasonal", "wg_host_features",
-    "dd_interleave",
-    "tx_classifier_eval", "en_useragent", "en_url_parts", "op_severity",
-    "dd_curation_cc",
-    "wg_canonical",
-    # round 4: new surface
-    "op_dissect_ordered", "st_multiline", "ir_phrase", "tx_bloom",
-    "warc_harvest", "pg_group_split", "pg_crawl_diff", "dd_containment",
-    "dd_hrw_shards", "tx_vocab_by_lang", "dd_mixture_plan", "dd_lsh_eval",
-    "op_kv", "op_kv_pairs", "op_syslog", "pg_robots", "st_sessions",
-    "st_ss_join", "ev_funnel", "ev_retention",
-    # round 4: Beats processor suite
-    "op_when", "op_proc_chain", "op_decode_json", "op_decode_csv",
-    "op_fingerprint", "op_truncate", "op_urldecode", "op_rate_limit",
-    "op_mime", "op_network", "op_timestamp", "op_proc_chain2",
-    "ev_community_id", "ev_ewma", "en_geoip", "ev_transitions",
-    "ev_state_runs", "ev_quantiles", "ev_paths", "wg_triangles",
-    "wg_trustrank", "wg_cocitation", "tx_vocab_hll", "tx_vocab_hll_est", "ir_ql", "ir_eval", "ev_hopping",
-    # round 4: behavior/plan changes (persist+hint, densified baseline,
-    # left-join model, PSL depth, salted default, index replay)
+    # round 5: new queries (LPA communities, LSH edit-distance verify,
+    # multi-index SRP hamming, KS drift, exact-integer correlations,
+    # lang-ID confusion matrix)
+    "wg_lpa", "dd_edit_verify", "ann_srp_hamming", "tx_ks_drift",
+    "tx_signal_corr", "tx_lang_confusion",
+    # behavior changed AFTER the r04 artifact was recorded (the
+    # post-round-4 advisor fixes: random_walks seed delimiting, base64
+    # UTF-8 validation, bootstrap zero-weight NULL, idempotent bucketed
+    # writes) — their r04 verdicts cover the PREVIOUS behavior
+    "wg_walks", "op_base64", "tx_bootstrap", "tx_bucketed_join",
+    # round-4 behavior/plan changes whose last driver verdict predates
+    # the change (not in the r04 window)
     "wg_canonical", "ev_anomaly", "tx_lm_score", "pg_etld1", "pg_host_cap",
     "dd_incremental", "dd_sample",
 ]

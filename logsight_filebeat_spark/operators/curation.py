@@ -919,3 +919,123 @@ def blockword_scores(
         )
         .withColumn("blocked", F.col("block_score") >= threshold)
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the integer
+    ``value_col`` distributions of the ``flag_col``-true vs -false slices
+    — the distribution-shift gate JS divergence (token-level) can't
+    express for NUMERIC signals (doc length drift, quality-score drift
+    between snapshots or sources). 1-row output
+    (n_a, n_b, ks_num, ks, at_value): ks = max over values of
+    |CDF_a − CDF_b|, with at_value the smallest value attaining it.
+
+    Exactness discipline: the comparison runs on the INTEGER lattice —
+    the max is over |cum_a·n_b − cum_b·n_a| (bigint), divided once at the
+    end — so the statistic is bit-stable at any partitioning and equal to
+    the DuckDB oracle's. Scale shape: one hash aggregate onto the distinct
+    value histogram, then ONE unpartitioned window over that histogram —
+    bounded by the value domain, never by row count (same documented
+    bounded-histogram discipline as quantile_threshold) — and a final
+    ordered-struct max (plain aggregate, map-side partial)."""
+    from pyspark.sql import Window
+
+    a = F.when(F.col(flag_col), 1).otherwise(0)
+    hist = (
+        df.select(F.col(value_col).cast("bigint").alias("v"), a.alias("_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("_a").cast("bigint").alias("ca"),
+            F.sum(F.lit(1) - F.col("_a")).cast("bigint").alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = hist.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    diff = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("d"),
+        "v",
+    )
+    # argmax d, tie -> min v: max over the lexicographic struct (d, -v).
+    best = diff.groupBy("n_a", "n_b").agg(
+        F.max(
+            F.struct(F.col("d").alias("d"), (-F.col("v")).alias("nv"))
+        ).alias("s")
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("s.d").alias("ks_num"),
+        F.round(F.col("s.d") / (F.col("n_a") * F.col("n_b")), 6).alias("ks"),
+        (-F.col("s.nv")).alias("at_value"),
+    )
+
+
+def signal_correlations(
+    df: DataFrame, cols: list[str], decimals: int = 6
+) -> DataFrame:
+    """Pearson correlation matrix over INTEGER signal columns — the
+    quality-signal redundancy audit (two signals correlating at 0.98 gate
+    the same documents; drop one before fitting mixture weights). One row
+    per unordered column pair: (col_x, col_y, n, r).
+
+    Why not ``F.corr``: float running sums are partition-order-dependent,
+    so the last bits differ run-to-run and engine-to-engine. Here every
+    moment (Σx, Σy, Σxy, Σx², Σy²) accumulates as BIGINT — associative,
+    bit-exact at any parallelism — and the float formula runs ONCE on the
+    1-row totals. Inputs must be integral (cast enforced); overflow needs
+    n·max(x)·max(y) < 2^63, satisfied by any per-document count signal.
+    Scale shape: ONE aggregate over the data (all pairs' moments in the
+    same pass, map-side partials), then a constant-width 1-row expansion."""
+    ints = [F.col(c).cast("bigint").alias(c) for c in cols]
+    d = df.select(*ints)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sxy_{x}_{y}"))
+    moments = d.agg(*aggs)
+    rows = []
+    for x, y in pairs:
+        n = F.col("n")
+        num = n * F.col(f"sxy_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        vx = n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        vy = n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                n.alias("n"),
+                F.when(
+                    (vx > 0) & (vy > 0),
+                    F.round(
+                        num / F.sqrt(vx.cast("double") * vy.cast("double")),
+                        decimals,
+                    ),
+                ).alias("r"),
+            )
+        )
+    return moments.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.col_x", "p.col_y", "p.n", "p.r")

@@ -1549,3 +1549,56 @@ def lsh_band_curve(
             ).alias("threshold"),
         )
     )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 2,
+    prefix: int = 200,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs:
+    (id_a, id_b, edit_dist) — the exact-verify stage fuzzy-dedup pipelines
+    run AFTER blocking (MinHash candidates say "probably similar"; the
+    Levenshtein pass says exactly HOW different, catching the
+    template-with-one-field-changed near-dups whose shingle Jaccard is
+    high but whose token edits matter).
+
+    Scale shape: candidates come from :func:`minhash_lsh_pairs` (banded
+    bucket equi-joins — never pairwise), then TWO equi-joins hydrate the
+    pair's texts and one codegen ``levenshtein`` evaluates per candidate.
+    Cost control is explicit: Levenshtein is O(len²) per pair, so the
+    compare runs over the first ``prefix`` chars (the standard
+    prefix-window bound; full-text compare is ``prefix=None`` opt-in for
+    verification-scale runs). The text hydration joins shuffle only the
+    candidate ids plus the prefix column, never full documents.
+    ``max_dist`` (optional) filters to pairs within the threshold."""
+    t = F.col(text_col) if prefix is None else F.substring(text_col, 1, prefix)
+    texts = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+    cand = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
+    out = (
+        cand.join(
+            texts.select(
+                F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("_id").alias("id_b"), F.col("_t").alias("_tb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+        )
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("edit_dist") <= max_dist)
+    return out

@@ -248,3 +248,76 @@ def perceptual_hash(
             F.element_at(counts, b + 1) * buckets > n, F.lit(1 << b)
         ).otherwise(F.lit(0))
     return df.withColumn(out, expr.cast("int"))
+
+
+def phash_near_dups(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming near-dup pairs over perceptual hashes:
+    (id_a, id_b, hamming) with hamming ≤ ``max_hamming`` — near-identical
+    media detection (re-encoded / slightly-edited copies land within a few
+    fingerprint bits of each other; equal-hash joins miss them).
+
+    Scale shape is the pigeonhole band trick (the multi-index hamming
+    method of Norouzi et al.): the ``bits``-bit fingerprint splits into
+    ``bands`` equal substrings; any pair within ``max_hamming`` bit flips
+    (< ``bands``) leaves at least one band untouched, so candidates are
+    the union of per-band EQUI-joins on (band_idx, band_value) — never a
+    pairwise scan — then one codegen ``bit_count(a XOR b)`` verifies the
+    exact distance. Requires ``max_hamming < bands`` or recall breaks;
+    enforced here. The banded projection is persisted (both self-join
+    sides read it); caller releases via release_persisted."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < bands, "
+            f"got {max_hamming} >= {bands}"
+        )
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide into {bands} bands")
+    from logsight_filebeat_spark.functions.caching import track_persist
+
+    w = bits // bands
+    ph = F.col(phash_col).cast("bigint")
+    banded = track_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            ph.alias("ph"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            ph.bitwiseAND(
+                                F.lit(((1 << w) - 1) << (b * w))
+                            ).alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select("id", "ph", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    )
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

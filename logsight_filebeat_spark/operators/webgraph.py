@@ -1000,3 +1000,82 @@ def reciprocity(
             F.round(F.col("n_recip") / F.col("n_out"), 6).alias("reciprocity"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities: (node, label).
+
+    The classic near-linear community detector (Raghavan et al. 2007, the
+    LPA GraphX/GraphFrames ships) — the mirror-farm / template-network
+    grouping signal the pairwise suites can't produce: communities emerge
+    from link density, not content similarity. Every node starts labeled
+    with itself; each synchronous round relabels every node with the most
+    frequent label among its undirected neighbors PLUS its own current
+    label (the self-vote — the standard damping that kills the two-cycle
+    oscillation pure synchronous LPA exhibits on bipartite structures),
+    ties broken by MINIMUM label (byte order). Deterministic by
+    construction — mode + ordered tie-break has no
+    float math and no partition-order dependence, so a DuckDB oracle
+    unrolling the same rounds matches exactly (unlike GraphX's
+    hash-partition-order tie-breaking, which is run-dependent).
+
+    Scale shape per round: ONE equi-join of the symmetrized distinct edge
+    list against the label table on the neighbor key + ONE hash aggregate
+    on (node, label) + ONE ordered-struct min per node (never a window:
+    ``min(struct(-cnt, label))`` is an ordinary aggregate with map-side
+    partials). Labels are persisted per round and the superseded round
+    released by the caller via release_persisted — same iteration
+    discipline as :func:`pagerank`; the symmetrized edges persist once.
+    """
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+    )
+    und = track_persist(
+        e.unionByName(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        ).distinct()
+    )
+    nodes = track_persist(
+        und.select(F.col("_u").alias("node")).distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    for _ in range(n_iter):
+        labels = track_persist(labels)
+        nbr = und.join(
+            labels.select(
+                F.col("node").alias("_v"), F.col("label").alias("_nl")
+            ),
+            "_v",
+        ).select("_u", "_nl")
+        self_vote = labels.select(
+            F.col("node").alias("_u"), F.col("label").alias("_nl")
+        )
+        counted = (
+            nbr.unionByName(self_vote)
+            .groupBy(F.col("_u").alias("node"), "_nl")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        # argmax count, tie -> min label: min over the lexicographic
+        # struct (-cnt, label). Aggregate, not window — partial-combinable.
+        best = counted.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cnt")).alias("nc"), F.col("_nl").alias("lb")
+                )
+            )["lb"].alias("_new")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+        )
+    return labels
