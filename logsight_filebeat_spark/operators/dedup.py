@@ -1122,37 +1122,40 @@ def ngram_novelty(
     piecemeal elsewhere), and curricula/retention policies order on
     exactly this (keep high-novelty docs, down-sample echoes).
 
-    Exact, not sketched: first-occurrence is min(id) per gram — one hash
-    aggregate over the shingle inverted index, one equi-join back on the
-    gram, one per-doc aggregate. All three shuffles key on gram or id;
-    gram frequencies are Zipfian but min() partial-aggregates map-side,
-    so the hot grams collapse before the exchange. Docs with fewer than
-    ``n`` tokens report (0, 0, 0.0).
+    Exact, not sketched, and join-free on the gram axis: shingles are
+    DISTINCT per doc (word_shingles), so a doc's n_grams is just
+    size(shingles) — computed in the row scan with no explode — and its
+    n_novel is how many grams name it as the min(id) owner: one hash
+    aggregate over the inverted index (min partial-aggregates map-side,
+    so Zipfian-hot grams collapse before the exchange) followed by one
+    count over the per-gram winners. The full exploded gram table is
+    never the probe side of a join and is derived exactly once. Docs
+    with fewer than ``n`` tokens report (0, 0, 0.0).
 
     Returns (id, n_grams, n_novel, novelty)."""
-    inv = shingle_table(df, text_col, id_col, n)
-    first = inv.groupBy("shingle").agg(F.min("id").alias("_first"))
-    per = (
-        inv.join(first, "shingle")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_first") == F.col("id")).cast("int"))
-            .cast("bigint")
-            .alias("n_novel"),
-        )
+    grams_per_doc = df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(text_col, n)).cast("bigint").alias("n_grams"),
     )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(per, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
-            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
-            F.coalesce(
-                F.round(F.col("n_novel") / F.col("n_grams"), 6), F.lit(0.0)
-            ).alias("novelty"),
-        )
+    novel = (
+        shingle_table(df, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return grams_per_doc.join(novel, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.coalesce(
+            F.round(
+                F.col("n_novel")
+                / F.when(F.col("n_grams") > 0, F.col("n_grams")),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("novelty"),
     )
 
 
