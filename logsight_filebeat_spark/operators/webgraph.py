@@ -706,6 +706,67 @@ def cocitation(
     )
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_out_degree: int = 64,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic–Adar link-prediction scores (Adamic & Adar 2003) over shared
+    in-neighborhoods: for every pair of pages co-linked by at least
+    ``min_common`` distinct sources, score = Σ over shared sources u of
+    1/ln(outdeg(u)). The frequency-weighted refinement of co-citation —
+    a source linking 3 pages is a far stronger relatedness signal per
+    pair than a source linking 60, and 1/ln is the published weighting.
+    The standard candidate generator for "related pages" / knowledge-graph
+    edge completion over a crawl.
+
+    Returns (a, b, common, aa_score) with a < b lexicographically,
+    ``common`` = distinct shared sources, ``aa_score`` rounded to 6.
+
+    Scale shape: identical to :func:`cocitation` — pair generation is a
+    self-join of the deduped edge list on src, never an all-pairs form,
+    with sources above ``max_out_degree`` dropped first (bounding
+    per-source fan-out at max_out_degree² AND capping the smallest
+    weight, so the cap is also the score's noise floor). The per-source
+    weight rides the left edge list into the pair join — one extra
+    column, no extra shuffle: degree join, pair join, and final
+    aggregate all key on src or the pair. Sources of out-degree 1 yield
+    no pairs and are filtered before the weight divides by ln(1)=0."""
+    if max_out_degree < 2:
+        raise ValueError("max_out_degree must be >= 2")
+    e = track_persist(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+    )
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .filter(
+            (F.col("outdeg") <= max_out_degree) & (F.col("outdeg") >= 2)
+        )
+    )
+    weighted = e.join(deg, "src").select(
+        "src",
+        "dst",
+        (F.lit(1.0) / F.log(F.col("outdeg").cast("double"))).alias("_w"),
+    )
+    left = weighted.select("src", "_w", F.col("dst").alias("a"))
+    right = weighted.select("src", F.col("dst").alias("b"))
+    return (
+        left.join(right, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.countDistinct("src").alias("common"),
+            F.round(F.sum("_w"), 6).alias("aa_score"),
+        )
+        .filter(F.col("common") >= F.lit(min_common))
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,

@@ -399,6 +399,40 @@ def test_cocitation_rejects_bad_cap():
         wg.cocitation(None, max_out_degree=1)
 
 
+def test_adamic_adar_weights_and_caps(spark):
+    import math
+
+    edges = [
+        # S1 (outdeg 2) and S2 (outdeg 3) both cite A and B
+        ("S1", "A"), ("S1", "B"),
+        ("S2", "A"), ("S2", "B"), ("S2", "C"),
+        # hub exceeds the cap -> contributes no weight
+        ("HUB", "A"), ("HUB", "B"), ("HUB", "C"), ("HUB", "D"),
+        # single-outlink source yields no pairs (and no ln(1) division)
+        ("SOLO", "A"),
+        # duplicate edge collapses before weighting
+        ("S1", "A"),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.common, r.aa_score)
+        for r in wg.adamic_adar(edf, max_out_degree=3).collect()
+    }
+    w1, w2 = 1 / math.log(2), 1 / math.log(3)
+    assert got == {
+        ("A", "B"): (2, round(w1 + w2, 6)),
+        ("A", "C"): (1, round(w2, 6)),
+        ("B", "C"): (1, round(w2, 6)),
+    }
+    # a lower-outdeg source outweighs a higher-outdeg one per pair
+    assert w1 > w2
+
+
+def test_adamic_adar_rejects_bad_cap():
+    with pytest.raises(ValueError):
+        wg.adamic_adar(None, max_out_degree=1)
+
+
 def _python_kcore(edges, k):
     """Reference peel: repeatedly drop nodes with undirected degree < k."""
     es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
