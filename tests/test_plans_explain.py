@@ -111,10 +111,17 @@ def test_blocked_pair_generators_have_no_cartesian_product(spark):
         [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(50)],
         "vec_id bigint, embedding array<double>",
     )
+    from logsight_filebeat_spark.operators.webgraph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 9}", f"d{i % 17}") for i in range(60)],
+        "src string, dst string",
+    )
     for df in (
         simhash_pairs(docs),
         jaccard_pairs(docs, max_doc_freq=10),
         embedding_near_dups_lsh(vecs),
+        adamic_adar(edges),
     ):
         plan = _formatted(df)
         assert "CartesianProduct" not in plan
