@@ -365,6 +365,15 @@ CORPUS_QUERIES = (
     "dd_soft_dedup",
     "tx_blockwords",
     "mm_phash",
+    # round-5 additions: weighted related-page scoring, LPA communities,
+    # LSH post-verification, banded hamming ANN, drift + correlation stats
+    "wg_adamic_adar",
+    "wg_lpa",
+    "dd_edit_verify",
+    "ann_srp_hamming",
+    "tx_ks_drift",
+    "tx_signal_corr",
+    "tx_lang_confusion",
 )
 
 
