@@ -1125,18 +1125,14 @@ def label_propagation(
         )
         # argmax count, tie -> min label: min over the lexicographic
         # struct (-cnt, label). Aggregate, not window — partial-combinable.
-        best = counted.groupBy("node").agg(
+        # The self-vote union guarantees every node appears in `counted`,
+        # so this aggregate IS the complete next label table — no join
+        # back onto the previous round needed.
+        labels = counted.groupBy("node").agg(
             F.min(
                 F.struct(
                     (-F.col("_cnt")).alias("nc"), F.col("_nl").alias("lb")
                 )
-            )["lb"].alias("_new")
-        )
-        labels = (
-            labels.join(best, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
-            )
+            )["lb"].alias("label")
         )
     return labels
