@@ -866,7 +866,12 @@ def incremental_dedup(
         .distinct()
     )
     hit = bk_in.join(bk_ex, ["bucket"]).select("id").distinct()
-    surv = inc.join(hit, F.col(id_col) == F.col("id"), "left_anti")
+    # surv feeds BOTH the survivor-signature semi-join and the final
+    # anti-join; unpersisted, each reference re-derives the existing
+    # corpus's bucket index (the expensive side) once more
+    surv = track_persist(
+        inc.join(hit, F.col(id_col) == F.col("id"), "left_anti")
+    )
     sig_surv = track_persist(
         sig_in.join(
             surv.select(F.col(id_col).alias("id")), ["id"], "left_semi"
