@@ -68,19 +68,42 @@ _ROUND_CHANGED = [
     # the change (not in the r04 window)
     "wg_canonical", "ev_anomaly", "tx_lm_score", "pg_etld1", "pg_host_cap",
     "dd_incremental", "dd_sample",
+    # round-5 plan rewrites (values verified identical locally, but the
+    # executed plan changed — fresh driver verdict wanted)
+    "dd_novelty",
+]
+
+# Driver-unseen queries to spend the FINAL round's remaining window slots
+# on: the flagship operators a reference user would reach for first, ahead
+# of long-tail variants. Remaining unseen entries keep registry order after
+# these.
+_PRIORITY_UNSEEN = [
+    "wg_pagerank", "dd_substring", "dd_substring_cut", "dd_contamination",
+    "dd_line_dedup", "tx_bpe_learn", "tx_bpe_tokens", "ir_bm25", "ir_rrf",
+    "tx_tfidf", "tx_gopher", "tx_ccnet", "tx_repetition", "dd_dsir",
+    "pg_log_templates", "pg_main_content", "wg_hits", "wg_triangles",
+    "wg_trustrank", "ev_sessions", "ev_asof", "ev_funnel", "ev_retention",
+    "st_dedup", "st_agg", "warc_harvest", "mm_features", "dd_curation_cc",
 ]
 
 
 def _rotated(mapping: dict) -> dict:
     seen = _driver_verified()
     changed = {k: mapping[k] for k in _ROUND_CHANGED if k in mapping}
+    priority = {
+        k: mapping[k]
+        for k in _PRIORITY_UNSEEN
+        if k in mapping and k not in seen and k not in changed
+    }
     unseen = {
-        k: v for k, v in mapping.items() if k not in seen and k not in changed
+        k: v
+        for k, v in mapping.items()
+        if k not in seen and k not in changed and k not in priority
     }
     rest = {
         k: v for k, v in mapping.items() if k in seen and k not in changed
     }
-    return {**changed, **unseen, **rest}
+    return {**changed, **priority, **unseen, **rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
